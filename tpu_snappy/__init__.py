@@ -1,0 +1,13 @@
+"""tpu-snappy: a TPU-native Snappy codec in JAX/Pallas.
+
+Brand-new implementation of the capabilities of the reference Chisel RoCC
+compression accelerator (nullromo/compression-accelerator), designed
+TPU-first: Pallas/XLA kernels over 64 KB blocks in VMEM, data-parallel block
+sharding over device meshes, and a native C++ golden harness.
+"""
+
+from .config import CodecConfig, DEFAULT_CONFIG  # noqa: F401
+from . import format  # noqa: F401
+from . import reference_codec  # noqa: F401
+
+__version__ = "0.1.0"

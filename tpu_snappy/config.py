@@ -1,0 +1,56 @@
+"""Codec configuration.
+
+One frozen dataclass of algorithm knobs flowing into kernels as static args —
+the TPU-native replacement for the reference's three config layers
+(CompressionParameters, CompressionAccelerator.scala:12-23; CopyCompressParams,
+CopyCompress.scala:9-11; Rocket Config mixins, Configs.scala:87-99), resolving
+its acknowledged "change all the magic numbers to parameters" debt
+(CompressionAccelerator.scala:52).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from . import format as fmt
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    #: LZ fragment size; matches never cross fragments. 64 KB is the format's
+    #: effective window (16-bit copy2 offsets), and one fragment fits easily
+    #: in VMEM (64 KB << ~16 MB), so no sliding window is needed — the
+    #: reference needed one only because its scratchpad was 50 KB
+    #: (MemoryController.scala:184-187).
+    block_size: int = fmt.BLOCK_SIZE
+
+    #: log2(hash bucket count) used for candidate finding. The reference uses
+    #: 9 bits (512 entries, HashTable.scala:27); software Snappy up to 14.
+    #: We default to 16 (one bucket per position) because our candidate index
+    #: is built by sort, not by a size-constrained SRAM.
+    hash_bits: int = 16
+
+    #: Number of hash-bucket predecessor candidates verified per position.
+    candidates: int = 2
+
+    #: Segment size for the bounded-state commit scan. Must equal
+    #: MAX_COPY_LEN: the scan state (distance to next committed position)
+    #: lives in [0, seg) because no element advances more than 64 bytes.
+    commit_segment: int = fmt.MAX_COPY_LEN
+
+    #: Per-block compressed-output capacity (worst case + slack), bytes.
+    #: Snappy worst case for 64 KB is 65539 + preamble; round up to a
+    #: TPU-friendly multiple of 1024.
+    block_capacity: int = fmt.BLOCK_SIZE + 2048
+
+    #: Mesh axis name for data-parallel block sharding.
+    dp_axis: str = "dp"
+
+    def __post_init__(self) -> None:
+        if self.block_size > fmt.BLOCK_SIZE:
+            raise ValueError("block_size may not exceed the 64 KB Snappy window")
+        if self.commit_segment != fmt.MAX_COPY_LEN:
+            raise ValueError("commit_segment must equal MAX_COPY_LEN (scan invariant)")
+
+
+DEFAULT_CONFIG = CodecConfig()
