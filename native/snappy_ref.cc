@@ -1,0 +1,239 @@
+// Clean-room Snappy codec implementation. See snappy_ref.h.
+//
+// Written from the public wire-format description; independent of both
+// google/snappy's source and this repo's JAX codec (two-implementation
+// cross-validation is the point).
+
+#include "snappy_ref.h"
+
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr size_t kBlockSize = 1u << 16;
+constexpr uint32_t kHashMul = 0x1e35a7bd;
+constexpr int kMaxHashBits = 14;
+
+inline uint32_t Load32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, sizeof(v));
+  return v;  // little-endian hosts only (x86/ARM); fine for this image.
+}
+
+inline uint32_t Hash(uint32_t v, int shift) { return (v * kHashMul) >> shift; }
+
+inline uint8_t* EmitVarint(uint8_t* op, uint64_t v) {
+  while (v >= 0x80) {
+    *op++ = static_cast<uint8_t>(v) | 0x80;
+    v >>= 7;
+  }
+  *op++ = static_cast<uint8_t>(v);
+  return op;
+}
+
+uint8_t* EmitLiteral(uint8_t* op, const uint8_t* lit, size_t len) {
+  size_t n = len - 1;
+  if (n < 60) {
+    *op++ = static_cast<uint8_t>(n << 2);
+  } else if (n < (1u << 8)) {
+    *op++ = 60 << 2;
+    *op++ = static_cast<uint8_t>(n);
+  } else if (n < (1u << 16)) {
+    *op++ = 61 << 2;
+    *op++ = static_cast<uint8_t>(n);
+    *op++ = static_cast<uint8_t>(n >> 8);
+  } else if (n < (1u << 24)) {
+    *op++ = 62 << 2;
+    *op++ = static_cast<uint8_t>(n);
+    *op++ = static_cast<uint8_t>(n >> 8);
+    *op++ = static_cast<uint8_t>(n >> 16);
+  } else {
+    *op++ = 63 << 2;
+    *op++ = static_cast<uint8_t>(n);
+    *op++ = static_cast<uint8_t>(n >> 8);
+    *op++ = static_cast<uint8_t>(n >> 16);
+    *op++ = static_cast<uint8_t>(n >> 24);
+  }
+  std::memcpy(op, lit, len);
+  return op + len;
+}
+
+uint8_t* EmitCopyOne(uint8_t* op, size_t offset, size_t len) {
+  // len in [4, 64], offset >= 1 (< 64K inside a block).
+  if (len <= 11 && offset < 2048) {
+    *op++ = static_cast<uint8_t>(0x01 | ((len - 4) << 2) | ((offset >> 8) << 5));
+    *op++ = static_cast<uint8_t>(offset);
+  } else {
+    *op++ = static_cast<uint8_t>(0x02 | ((len - 1) << 2));
+    *op++ = static_cast<uint8_t>(offset);
+    *op++ = static_cast<uint8_t>(offset >> 8);
+  }
+  return op;
+}
+
+uint8_t* EmitCopy(uint8_t* op, size_t offset, size_t len) {
+  // Software Snappy's splitting: keep the final element >= 4 bytes.
+  while (len >= 68) {
+    op = EmitCopyOne(op, offset, 64);
+    len -= 64;
+  }
+  if (len > 64) {
+    op = EmitCopyOne(op, offset, 60);
+    len -= 60;
+  }
+  return EmitCopyOne(op, offset, len);
+}
+
+int TableBits(size_t block_len) {
+  int bits = 8;
+  while ((size_t{1} << bits) < block_len && bits < kMaxHashBits) bits++;
+  return bits;
+}
+
+uint8_t* CompressBlock(const uint8_t* base, size_t len, uint8_t* op, int mode) {
+  if (len < 4) {
+    if (len) op = EmitLiteral(op, base, len);
+    return op;
+  }
+  const int bits = TableBits(len);
+  const int shift = 32 - bits;
+  std::vector<int32_t> table(size_t{1} << bits, -1);
+
+  const size_t limit = len - 4;  // last index with a full 4-byte load
+  size_t pos = 0;
+  size_t next_emit = 0;
+  uint32_t skip = 32;
+
+  while (pos <= limit) {
+    const uint32_t cur = Load32(base + pos);
+    const uint32_t h = Hash(cur, shift);
+    const int32_t cand = table[h];
+    table[h] = static_cast<int32_t>(pos);
+    if (cand >= 0 && Load32(base + cand) == cur) {
+      if (pos > next_emit) op = EmitLiteral(op, base + next_emit, pos - next_emit);
+      size_t matched = 4;
+      while (pos + matched < len &&
+             base[cand + matched] == base[pos + matched]) {
+        matched++;
+      }
+      op = EmitCopy(op, pos - static_cast<size_t>(cand), matched);
+      pos += matched;
+      next_emit = pos;
+      skip = 32;
+      // Seed the table with the position just before the continuation point
+      // so immediately-repeating patterns keep chaining (software Snappy
+      // does the same after a match).
+      if (pos >= 1 && pos <= limit) {
+        uint32_t prev = Load32(base + pos - 1);
+        table[Hash(prev, shift)] = static_cast<int32_t>(pos - 1);
+      }
+    } else {
+      pos += (mode == SR_MODE_DENSE) ? 1 : (skip++ >> 5);
+    }
+  }
+  if (next_emit < len) op = EmitLiteral(op, base + next_emit, len - next_emit);
+  return op;
+}
+
+int ReadVarint(const uint8_t* in, size_t n, size_t* pos, uint64_t* value) {
+  uint64_t v = 0;
+  for (int i = 0; i < 5; i++) {
+    if (*pos >= n) return SR_ERR_TRUNCATED;
+    uint8_t b = in[(*pos)++];
+    v |= static_cast<uint64_t>(b & 0x7f) << (7 * i);
+    if (!(b & 0x80)) {
+      *value = v;
+      return SR_OK;
+    }
+  }
+  return SR_ERR_BAD_VARINT;
+}
+
+}  // namespace
+
+extern "C" {
+
+size_t sr_max_compressed_length(size_t n) { return 32 + n + n / 6; }
+
+size_t sr_compress(const uint8_t* in, size_t n, uint8_t* out, int mode) {
+  uint8_t* op = EmitVarint(out, n);
+  for (size_t start = 0; start < n; start += kBlockSize) {
+    const size_t blen = (n - start < kBlockSize) ? n - start : kBlockSize;
+    op = CompressBlock(in + start, blen, op, mode);
+  }
+  return static_cast<size_t>(op - out);
+}
+
+int sr_uncompressed_length(const uint8_t* in, size_t n, uint64_t* result) {
+  size_t pos = 0;
+  return ReadVarint(in, n, &pos, result);
+}
+
+int sr_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap,
+                  uint64_t* out_len) {
+  size_t ip = 0;
+  uint64_t expected = 0;
+  int rc = ReadVarint(in, n, &ip, &expected);
+  if (rc != SR_OK) return rc;
+  if (expected > out_cap) return SR_ERR_CAPACITY;
+
+  size_t op = 0;
+  while (ip < n) {
+    const uint8_t tag = in[ip];
+    const unsigned kind = tag & 3;
+    if (kind == 0) {  // literal
+      size_t llen;
+      if ((tag >> 2) < 60) {
+        llen = (tag >> 2) + 1;
+        ip += 1;
+      } else {
+        const unsigned extra = (tag >> 2) - 59;  // 1..4 bytes
+        if (ip + 1 + extra > n) return SR_ERR_TRUNCATED;
+        uint64_t v = 0;
+        for (unsigned i = 0; i < extra; i++) {
+          v |= static_cast<uint64_t>(in[ip + 1 + i]) << (8 * i);
+        }
+        llen = static_cast<size_t>(v) + 1;
+        ip += 1 + extra;
+      }
+      if (ip + llen > n) return SR_ERR_TRUNCATED;
+      if (op + llen > expected) return SR_ERR_LENGTH_MISMATCH;
+      std::memcpy(out + op, in + ip, llen);
+      ip += llen;
+      op += llen;
+    } else {
+      size_t clen, offset;
+      if (kind == 1) {
+        if (ip + 2 > n) return SR_ERR_TRUNCATED;
+        clen = ((tag >> 2) & 0x7) + 4;
+        offset = (static_cast<size_t>(tag >> 5) << 8) | in[ip + 1];
+        ip += 2;
+      } else if (kind == 2) {
+        if (ip + 3 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = in[ip + 1] | (static_cast<size_t>(in[ip + 2]) << 8);
+        ip += 3;
+      } else {
+        if (ip + 5 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = in[ip + 1] | (static_cast<size_t>(in[ip + 2]) << 8) |
+                 (static_cast<size_t>(in[ip + 3]) << 16) |
+                 (static_cast<size_t>(in[ip + 4]) << 24);
+        ip += 5;
+      }
+      if (offset == 0 || offset > op) return SR_ERR_BAD_OFFSET;
+      if (op + clen > expected) return SR_ERR_LENGTH_MISMATCH;
+      // Byte loop honors overlapping-copy (RLE) semantics.
+      for (size_t i = 0; i < clen; i++) {
+        out[op + i] = out[op - offset + i];
+      }
+      op += clen;
+    }
+  }
+  if (op != expected) return SR_ERR_LENGTH_MISMATCH;
+  *out_len = op;
+  return SR_OK;
+}
+
+}  // extern "C"

@@ -1,0 +1,60 @@
+// Clean-room C++ Snappy codec — the golden-reference native component.
+//
+// Plays the role of the google/snappy submodule + tests/swcompression.cc in
+// the reference repo (both unavailable here): an implementation of the public
+// Snappy wire format that is fully independent of the JAX/Pallas codec, used
+// by the test tiers to certify that TPU-produced streams are bit-for-bit
+// decompressible and that compressed sizes meet the software-Snappy ratio bar.
+//
+// Two encoder modes:
+//   SR_MODE_BASELINE — emulates software Snappy's parse (sparse hash table
+//     with skip acceleration, <=14-bit table). Defines the ratio baseline.
+//   SR_MODE_DENSE    — inserts every position (denser table), closer to what
+//     the TPU kernels do.
+//
+// C ABI so Python binds via ctypes (no pybind11 in this image).
+
+#ifndef TPU_SNAPPY_NATIVE_SNAPPY_REF_H_
+#define TPU_SNAPPY_NATIVE_SNAPPY_REF_H_
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+enum {
+  SR_OK = 0,
+  SR_ERR_TRUNCATED = 1,
+  SR_ERR_BAD_OFFSET = 2,
+  SR_ERR_LENGTH_MISMATCH = 3,
+  SR_ERR_CAPACITY = 4,
+  SR_ERR_BAD_VARINT = 5,
+};
+
+enum {
+  SR_MODE_BASELINE = 0,
+  SR_MODE_DENSE = 1,
+};
+
+// Worst-case compressed size for n input bytes (preamble included).
+size_t sr_max_compressed_length(size_t n);
+
+// Compress n bytes of `in` into `out` (capacity must be at least
+// sr_max_compressed_length(n)). Returns the compressed size.
+size_t sr_compress(const uint8_t* in, size_t n, uint8_t* out, int mode);
+
+// Read the uncompressed-length preamble. Returns SR_OK or an error code.
+int sr_uncompressed_length(const uint8_t* in, size_t n, uint64_t* result);
+
+// Strict decompression with validation. `out_cap` must be at least the
+// preamble length. On success writes the output size to *out_len.
+int sr_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap,
+                  uint64_t* out_len);
+
+#ifdef __cplusplus
+}  // extern "C"
+#endif
+
+#endif  // TPU_SNAPPY_NATIVE_SNAPPY_REF_H_

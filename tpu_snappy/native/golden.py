@@ -1,0 +1,98 @@
+"""ctypes bindings to the clean-room C++ golden codec (native/).
+
+Auto-builds the shared library with CMake+ninja/make on first use and caches
+the build under native/build/. This is the Python face of the reference's
+tests/swcompression.cc path: an independent native implementation used to
+certify TPU codec output.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+_NATIVE = _ROOT / "native"
+_BUILD = _NATIVE / "build"
+
+MODE_BASELINE = 0
+MODE_DENSE = 1
+
+_ERRORS = {
+    1: "truncated stream",
+    2: "bad copy offset",
+    3: "length mismatch",
+    4: "output capacity too small",
+    5: "bad varint",
+}
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> pathlib.Path:
+    lib = _BUILD / "libsnappy_ref.so"
+    if not lib.exists():
+        _BUILD.mkdir(parents=True, exist_ok=True)
+        subprocess.run(
+            ["cmake", "-S", str(_NATIVE), "-B", str(_BUILD), "-G", "Ninja"],
+            check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["cmake", "--build", str(_BUILD)], check=True, capture_output=True
+        )
+    return lib
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(str(_build()))
+            lib.sr_max_compressed_length.restype = ctypes.c_size_t
+            lib.sr_max_compressed_length.argtypes = [ctypes.c_size_t]
+            lib.sr_compress.restype = ctypes.c_size_t
+            lib.sr_compress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_int
+            ]
+            lib.sr_uncompressed_length.restype = ctypes.c_int
+            lib.sr_uncompressed_length.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64)
+            ]
+            lib.sr_uncompress.restype = ctypes.c_int
+            lib.sr_uncompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64),
+            ]
+            _lib = lib
+    return _lib
+
+
+def swcompression_path() -> pathlib.Path:
+    """Path to the CLI harness binary (built on demand)."""
+    _build()
+    return _BUILD / "swcompression"
+
+
+def compress(data: bytes, mode: int = MODE_BASELINE) -> bytes:
+    lib = _load()
+    cap = lib.sr_max_compressed_length(len(data))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.sr_compress(data, len(data), out, mode)
+    return out.raw[:n]
+
+
+def uncompress(data: bytes) -> bytes:
+    lib = _load()
+    ulen = ctypes.c_uint64()
+    rc = lib.sr_uncompressed_length(data, len(data), ctypes.byref(ulen))
+    if rc:
+        raise ValueError(f"golden uncompress: {_ERRORS.get(rc, rc)}")
+    out = ctypes.create_string_buffer(max(1, ulen.value))
+    got = ctypes.c_uint64()
+    rc = lib.sr_uncompress(data, len(data), out, ulen.value, ctypes.byref(got))
+    if rc:
+        raise ValueError(f"golden uncompress: {_ERRORS.get(rc, rc)}")
+    return out.raw[: got.value]
