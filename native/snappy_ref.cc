@@ -236,4 +236,57 @@ int sr_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap,
   return SR_OK;
 }
 
+int sr_scan_index(const uint8_t* in, size_t n, size_t start,
+                  uint64_t expected_out, uint32_t* comp_off,
+                  uint32_t* out_len, size_t max_frags, uint32_t* num_frags) {
+  constexpr uint64_t kFrag = 1u << 16;
+  size_t ip = start;
+  uint64_t op = 0;
+  size_t frag = 0;
+  size_t frag_ip = ip;
+  uint64_t frag_op = 0;
+  while (ip < n) {
+    const uint8_t tag = in[ip];
+    const unsigned kind = tag & 3;
+    size_t esize, outbytes;
+    if (kind == 0) {
+      const unsigned code = tag >> 2;
+      if (code < 60) {
+        outbytes = code + 1;
+        esize = 1 + outbytes;
+      } else {
+        const unsigned extra = code - 59;
+        if (ip + 1 + extra > n) return SR_ERR_TRUNCATED;
+        uint64_t v = 0;
+        for (unsigned i = 0; i < extra; i++) {
+          v |= static_cast<uint64_t>(in[ip + 1 + i]) << (8 * i);
+        }
+        outbytes = v + 1;
+        esize = 1 + extra + outbytes;
+      }
+    } else {
+      esize = (kind == 1) ? 2 : (kind == 2) ? 3 : 5;
+      outbytes = (kind == 1) ? ((tag >> 2) & 0x7) + 4 : (tag >> 2) + 1;
+    }
+    if (ip + esize > n) return SR_ERR_TRUNCATED;
+    ip += esize;
+    op += outbytes;
+    // Fragment boundary: output hit a 64 KB multiple (or stream end).
+    if (op % kFrag == 0 || ip >= n) {
+      if (frag >= max_frags) return SR_ERR_CAPACITY;
+      if (op - frag_op > kFrag) return SR_ERR_BAD_OFFSET;  // giant element
+      comp_off[frag] = static_cast<uint32_t>(frag_ip);
+      out_len[frag] = static_cast<uint32_t>(op - frag_op);
+      frag++;
+      frag_ip = ip;
+      frag_op = op;
+    } else if (op / kFrag != (op - outbytes) / kFrag) {
+      return SR_ERR_BAD_OFFSET;  // element straddles a fragment boundary
+    }
+  }
+  if (op != expected_out) return SR_ERR_LENGTH_MISMATCH;
+  *num_frags = static_cast<uint32_t>(frag);
+  return SR_OK;
+}
+
 }  // extern "C"

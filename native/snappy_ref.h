@@ -53,6 +53,18 @@ int sr_uncompressed_length(const uint8_t* in, size_t n, uint64_t* result);
 int sr_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap,
                   uint64_t* out_len);
 
+// Scan the element chain of a stream (after the preamble, i.e. in[start..n))
+// and emit the fragment table used by the parallel decoder: fragments are
+// maximal element runs whose output ends on a 64 KB boundary (or stream
+// end). For each fragment i writes comp_off[i] (offset into `in`) and
+// out_len[i]; both arrays must hold `max_frags` entries. Writes the fragment
+// count to *num_frags. Returns SR_OK, or an error if the chain is malformed,
+// an element straddles a 64 KB output boundary, or max_frags is exceeded
+// (callers then fall back to sequential decode).
+int sr_scan_index(const uint8_t* in, size_t n, size_t start,
+                  uint64_t expected_out, uint32_t* comp_off,
+                  uint32_t* out_len, size_t max_frags, uint32_t* num_frags);
+
 #ifdef __cplusplus
 }  // extern "C"
 #endif

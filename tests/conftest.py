@@ -3,11 +3,17 @@
 Tests never require TPU hardware; multi-chip sharding is validated on a
 virtual CPU mesh (the TLTestRAM/DummyPTW analogue of ScratchpadTest.scala —
 fake the fabric, run the real logic).
+
+Note: this image's sitecustomize registers the `axon` TPU-tunnel PJRT
+backend and rewrites jax_platforms at interpreter start, so setting the
+JAX_PLATFORMS env var is NOT enough — we must override the jax config after
+import, before any backend initializes. Otherwise "CPU" tests silently
+compile through the TPU tunnel (~100x slower).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,3 +24,8 @@ import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -30,8 +30,11 @@ class CodecConfig:
     #: is built by sort, not by a size-constrained SRAM.
     hash_bits: int = 16
 
-    #: Number of hash-bucket predecessor candidates verified per position.
-    candidates: int = 2
+    #: Number of previous-occurrence candidates verified per position
+    #: (rank-space sort neighbors). 16 reaches software-Snappy ratio parity on
+    #: every corpus class incl. low-entropy hex dumps (alignerTestData);
+    #: lower trades ratio for encode speed.
+    candidates: int = 16
 
     #: Segment size for the bounded-state commit scan. Must equal
     #: MAX_COPY_LEN: the scan state (distance to next committed position)

@@ -66,6 +66,13 @@ def _load():
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
                 ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64),
             ]
+            lib.sr_scan_index.restype = ctypes.c_int
+            lib.sr_scan_index.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+                ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
             _lib = lib
     return _lib
 
@@ -82,6 +89,26 @@ def compress(data: bytes, mode: int = MODE_BASELINE) -> bytes:
     out = ctypes.create_string_buffer(cap)
     n = lib.sr_compress(data, len(data), out, mode)
     return out.raw[:n]
+
+
+def scan_index(comp: bytes, start: int, total: int, max_frags: int):
+    """Fragment table of a Snappy stream via the native element walk.
+
+    Returns (comp_offsets u32[F], out_lens u32[F], F). Raises RuntimeError
+    on malformed or non-fragmentable streams (callers fall back)."""
+    import numpy as np
+
+    lib = _load()
+    offs = (ctypes.c_uint32 * max_frags)()
+    lens = (ctypes.c_uint32 * max_frags)()
+    nfrag = ctypes.c_uint32()
+    rc = lib.sr_scan_index(comp, len(comp), start, total, offs, lens,
+                           max_frags, ctypes.byref(nfrag))
+    if rc:
+        raise RuntimeError(f"scan_index: {_ERRORS.get(rc, rc)}")
+    f = nfrag.value
+    return (np.frombuffer(offs, dtype=np.uint32)[:f].astype(np.int64),
+            np.frombuffer(lens, dtype=np.uint32)[:f].astype(np.int64), f)
 
 
 def uncompress(data: bytes) -> bytes:

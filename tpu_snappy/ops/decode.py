@@ -1,0 +1,216 @@
+"""Vectorized Snappy decoder (JAX).
+
+The reference never built decode — RoCC funct=1 is a stub that just sets
+`busy` (CompressionAccelerator.scala:385-388); its only decode path is
+software snappy::Uncompress (tests/swcompression.cc:31). This is a
+first-class, fragment-parallel decoder:
+
+  1. FRAGMENT: split the stream at 64 KB-output boundaries (a host/native
+     scan, sr_scan_index; encoders — ours, google's — always fragment there,
+     so elements never straddle). Fragments decode independently because
+     match offsets are fragment-local by construction.
+  2. PARSE: speculatively compute an element size for *every* compressed
+     byte (as if it were a tag), then recover the true tag chain with the
+     general segment-map scan (ops/scan.py) — jumps are unbounded here
+     because literal elements can span the whole fragment.
+  3. TRANSPORT: literal payload bytes scatter straight from the compressed
+     buffer to their output positions (no gather).
+  4. RESOLVE: back-reference copies form chains (offset < length => RLE);
+     each output byte's ultimate *literal* source is found by pointer
+     doubling over output positions — the parallel-decode trick the
+     ACEAPEX-style absolute-offset formulation suggests — then one gather
+     materializes the bytes.
+
+Foreign streams that violate fragment locality (legal but never produced by
+known encoders) are detected and routed to the sequential host decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import format as fmt
+from ..config import CodecConfig, DEFAULT_CONFIG
+from . import scan
+
+#: Per-fragment compressed capacity. A 64 KB fragment from any sane encoder
+#: compresses to <= 65536 + headers; adversarial-but-valid streams (e.g. all
+#: 1-byte copies) can exceed this and fall back to sequential decode.
+FRAG_CAP = 68 * 1024
+OUT = fmt.BLOCK_SIZE
+
+
+def _elem_fields(c: jax.Array):
+    """Speculative per-byte element decode (as if every byte were a tag).
+
+    Returns (size, outbytes, is_lit, hdr, length, offset) — all (..., M) i32.
+    """
+    t = c.astype(jnp.int32)
+    b1 = jnp.roll(t, -1, axis=-1)
+    b2 = jnp.roll(t, -2, axis=-1)
+    b3 = jnp.roll(t, -3, axis=-1)
+    b4 = jnp.roll(t, -4, axis=-1)
+    kind = t & 3
+    code = t >> 2
+
+    extra = jnp.clip(code - 59, 0, 4)
+    ext_val = jnp.where(
+        extra == 0, code,
+        jnp.where(extra == 1, b1,
+                  jnp.where(extra == 2, b1 | (b2 << 8),
+                            jnp.where(extra == 3, b1 | (b2 << 8) | (b3 << 16),
+                                      b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)))))
+    lit_len = ext_val + 1
+    lit_hdr = 1 + extra
+    lit_size = lit_hdr + lit_len
+
+    copy_len = jnp.where(kind == 1, ((t >> 2) & 7) + 4, code + 1)
+    copy_size = jnp.where(kind == 1, 2, jnp.where(kind == 2, 3, 5))
+    copy_off = jnp.where(
+        kind == 1, ((t >> 5) << 8) | b1,
+        jnp.where(kind == 2, b1 | (b2 << 8),
+                  b1 | (b2 << 8) | (b3 << 16) | (b4 << 24)))
+
+    is_lit = kind == 0
+    size = jnp.where(is_lit, lit_size, copy_size)
+    outbytes = jnp.where(is_lit, lit_len, copy_len)
+    hdr = jnp.where(is_lit, lit_hdr, copy_size)
+    length = jnp.where(is_lit, lit_len, copy_len)
+    return size, outbytes, is_lit, hdr, length, copy_off
+
+
+def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
+    """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
+    Returns (out (65536,) uint8, ok bool)."""
+    m = c.shape[-1]
+    iota = jnp.arange(m, dtype=jnp.int32)
+
+    size, outbytes, is_lit, hdr, length, off = _elem_fields(c)
+
+    # --- PARSE: true tag chain ---
+    jump = jnp.clip(size, 1, None)
+    tags = scan.commit_general(jump) & (iota < clen)
+
+    # Output start position of each element; chain-consistency checks.
+    opos = scan.exclusive_cumsum(jnp.where(tags, outbytes, 0))
+    total_out = jnp.sum(jnp.where(tags, outbytes, 0))
+    # The chain must consume exactly clen bytes: the last tag must end at clen.
+    last_end = jnp.max(jnp.where(tags, iota + size, -1))
+    ok = (total_out == ulen) & ((last_end == clen) | (clen == 0))
+    # Copies must stay inside the fragment and behind the write head.
+    bad_copy = tags & ~is_lit & ((off < 1) | (off > opos))
+    ok &= ~jnp.any(bad_copy)
+
+    # --- TRANSPORT: literal payload scatter (compressed -> output space) ---
+    estart = scan.ffill(tags, iota)
+    eopos = scan.ffill(tags, opos)
+    ehdr = scan.ffill(tags, hdr)
+    eislit = scan.ffill(tags, is_lit.astype(jnp.int32)) == 1
+    is_payload = eislit & (iota >= estart + ehdr) & (iota < clen)
+    out_q = eopos + iota - estart - ehdr
+    dump = OUT
+    lit_out = jnp.zeros(OUT + 1, jnp.uint8)
+    lit_out = lit_out.at[jnp.where(is_payload, out_q, dump)].set(c)
+
+    # --- RESOLVE: copy chains over output space ---
+    oiota = jnp.arange(OUT, dtype=jnp.int32)
+    # Scatter element descriptors at their output start, fill across bytes.
+    mark = jnp.zeros(OUT + 1, jnp.bool_).at[
+        jnp.where(tags, jnp.minimum(opos, OUT), dump)].set(True)[:OUT]
+    o_off = jnp.zeros(OUT + 1, jnp.int32).at[
+        jnp.where(tags & ~is_lit, jnp.minimum(opos, OUT), dump)].set(off)
+    o_lit = jnp.zeros(OUT + 1, jnp.int32).at[
+        jnp.where(tags, jnp.minimum(opos, OUT), dump)].set(is_lit.astype(jnp.int32))
+    # Element starts are unique output positions, but a literal start can
+    # collide with a following zero-length... (cannot: outbytes >= 1), safe.
+    off_f = scan.ffill(mark, o_off[:OUT])
+    lit_f = scan.ffill(mark, o_lit[:OUT]) == 1
+    src = jnp.where(lit_f, oiota, oiota - off_f)
+    src = jnp.clip(src, 0, OUT - 1)
+    for _ in range(16):  # chase depth <= 65536 => 16 doubling rounds
+        src = src[src]
+    out = lit_out[:OUT][src]
+    out = jnp.where(oiota < ulen, out, 0)
+    return out, ok
+
+
+@jax.jit
+def decode_fragments_jit(frags: jax.Array, clens: jax.Array, ulens: jax.Array):
+    return jax.vmap(decode_fragment)(frags, clens, ulens)
+
+
+def fragment_table(comp: bytes, start: int, total: int):
+    """Host-side fragment split (native scan with Python fallback).
+
+    Returns (frags (F, FRAG_CAP) uint8, clens (F,) i32, ulens (F,) i32).
+    Raises ValueError for malformed streams; falls back to the sequential
+    path by raising FragmentFallback for valid-but-exotic ones.
+    """
+    buf = np.frombuffer(comp, dtype=np.uint8)
+    max_frags = total // fmt.BLOCK_SIZE + 2
+    try:
+        from ..native import golden
+        offs, ulens, nfrag = golden.scan_index(comp, start, total, max_frags)
+    except (ImportError, OSError, RuntimeError):
+        offs, ulens, nfrag = _scan_index_py(buf, start, total, max_frags)
+    offs = np.concatenate([offs[:nfrag], [len(comp)]]).astype(np.int64)
+    clens = (offs[1:] - offs[:-1]).astype(np.int32)
+    if nfrag == 0 or clens.max(initial=0) > FRAG_CAP:
+        raise FragmentFallback("fragment exceeds parallel-decode capacity")
+    frags = np.zeros((nfrag, FRAG_CAP), dtype=np.uint8)
+    for i in range(nfrag):
+        frags[i, : clens[i]] = buf[offs[i]: offs[i + 1]]
+    return frags, clens, np.asarray(ulens[:nfrag], dtype=np.int32)
+
+
+class FragmentFallback(Exception):
+    """Stream is valid but not fragment-parallel decodable; use host path."""
+
+
+def _scan_index_py(buf: np.ndarray, start: int, total: int, max_frags: int):
+    """Pure-Python element walk (slow; only used without the native lib)."""
+    ip, op = start, 0
+    n = len(buf)
+    offs, ulens = [], []
+    frag_ip, frag_op = ip, 0
+    while ip < n:
+        tag = int(buf[ip])
+        kind = tag & 3
+        if kind == 0:
+            code = tag >> 2
+            if code < 60:
+                outb = code + 1
+                esize = 1 + outb
+            else:
+                extra = code - 59
+                if ip + 1 + extra > n:
+                    raise ValueError("truncated")
+                outb = int.from_bytes(buf[ip + 1: ip + 1 + extra].tobytes(), "little") + 1
+                esize = 1 + extra + outb
+        else:
+            esize = 2 if kind == 1 else 3 if kind == 2 else 5
+            outb = (((tag >> 2) & 7) + 4) if kind == 1 else (tag >> 2) + 1
+        if ip + esize > n:
+            raise ValueError("truncated")
+        ip += esize
+        op += outb
+        if op % fmt.BLOCK_SIZE == 0 or ip >= n:
+            if op - frag_op > fmt.BLOCK_SIZE or len(offs) >= max_frags:
+                raise FragmentFallback("exotic stream")
+            offs.append(frag_ip)
+            ulens.append(op - frag_op)
+            frag_ip, frag_op = ip, op
+        elif op // fmt.BLOCK_SIZE != (op - outb) // fmt.BLOCK_SIZE:
+            raise FragmentFallback("element straddles fragment boundary")
+    if op != total:
+        raise ValueError("length mismatch vs preamble")
+    return np.asarray(offs, np.int64), np.asarray(ulens, np.int64), len(offs)
+
+
+def decode_fragments(frags, clens, ulens, cfg: CodecConfig = DEFAULT_CONFIG):
+    return decode_fragments_jit(jnp.asarray(frags), jnp.asarray(clens),
+                                jnp.asarray(ulens))

@@ -1,0 +1,271 @@
+"""Vectorized Snappy block encoder (JAX).
+
+A from-scratch, TPU-first reformulation of the reference's encode pipeline.
+Where the RTL is a per-byte state machine —
+
+  * MatchFinder streams 4-byte windows through a 512-entry hash table
+    (MatchFinder.scala:26-77, HashTable.scala:11-54),
+  * CopyCompress extends matches 4 comparator lanes per cycle
+    (CopyCompress.scala:110-122),
+  * the top module serializes literals through a 16-byte streamHolder and
+    back-patches literal tags (CompressionAccelerator.scala:230-285),
+
+— this encoder is four data-parallel stages over a whole 64 KB block:
+
+  1. MATCH: sort (4-byte window, position) pairs; in sorted (rank) space the
+     nearest previous occurrence of every window is an adjacent row, with
+     equality already proven by key equality. No hash table, no collisions,
+     denser candidates than any SRAM table. Two candidates per position.
+  2. EXTEND: stride-4 agreement chains turn per-position 4-byte matches into
+     match lengths (roll-based capped run-length doubling — the VPU-wide
+     replacement for the 4-lane comparator), then a max-plus cummax
+     propagates suffix matches so chained copies of long matches and
+     mid-match commits always have a candidate.
+  3. COMMIT: the greedy parse (literal vs copy, pointer advance) becomes a
+     bounded-state segment scan (ops/scan.py) — sound because no Snappy
+     element advances more than 64 bytes.
+  4. EMIT: element sizes -> exclusive scan -> byte offsets; tag/length/offset
+     header bytes and literal payloads are scattered to their final positions
+     (replacing streamHolder serialization + emptySpotAddr back-patching +
+     the emitEmptyBytePos DMA barrier, MemoryController.scala:204,243-258).
+
+Output parse differs from software Snappy's byte-for-byte (see the 4-byte
+quantized extension below) but is valid Snappy at a comparable-or-better
+ratio; bit-exact decompressibility is certified against the C++ golden
+harness in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import format as fmt
+from ..config import CodecConfig, DEFAULT_CONFIG
+from . import scan
+
+N = fmt.BLOCK_SIZE  # 65536: fixed lane count of every per-position array
+
+
+def _windows_u32(block: jax.Array) -> jax.Array:
+    """4-byte little-endian windows w[i] = bytes[i:i+4] (wraps at the end;
+    callers mask the last 3 positions)."""
+    b = block.astype(jnp.uint32)
+    return (b
+            | jnp.roll(b, -1, axis=-1) << 8
+            | jnp.roll(b, -2, axis=-1) << 16
+            | jnp.roll(b, -3, axis=-1) << 24)
+
+
+def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
+    """K nearest previous positions with an identical 4-byte window, as
+    offsets (0 = no candidate), nearest first. Sort-based rank-space matcher:
+    after sorting (window, position) pairs, the k-th previous occurrence of
+    any window is exactly k rows up, with equality proven by key equality —
+    denser and collision-free vs. any SRAM hash table (HashTable.scala keeps
+    one 512-entry column and loses every collision)."""
+    valid = iota <= n - 4
+    key = jnp.where(valid, w, jnp.uint32(0xFFFFFFFF))
+    w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
+
+    rank = jnp.arange(N, dtype=jnp.int32)
+    offs = []
+    for shift in range(1, k + 1):
+        prev_w = jnp.roll(w_s, shift, axis=-1)
+        prev_pos = jnp.roll(pos_s, shift, axis=-1)
+        same = (w_s == prev_w) & (rank >= shift) & (prev_pos <= n - 4) & (pos_s <= n - 4)
+        offs.append(jnp.where(same, pos_s - prev_pos, 0))
+
+    # Permutation scatter back to position space, all K lanes at once.
+    stacked = jnp.stack(offs, axis=-1)  # (N, K)
+    out = jnp.zeros((N, k), jnp.int32).at[pos_s].set(stacked)
+    return out  # (N, K)
+
+
+def _sticky_offsets(cands: jax.Array) -> jax.Array:
+    """Chain-stable offset choice per position.
+
+    Greedy chains want consecutive stride-4 positions to agree on one offset;
+    each position independently picking its nearest candidate breaks chains
+    (a closer duplicate appears mid-match). This scan makes the offset
+    "sticky": a position keeps the offset arriving from position i-4 whenever
+    any of its own K (verified) candidates equals it, else defaults to its
+    nearest candidate. The per-position transfer functions
+    f(s) = s if s in candidates else nearest compose in closed form —
+    (surviving keep-set <= K values, default) — so the whole chain resolves
+    in one associative scan along each of the 4 stride-4 lanes.
+
+    The closed form is approximate (a state surviving the left sub-range but
+    dropped mid-range evaluates to the wrong branch's default), but safely
+    so: every produced offset is still one of its own position's verified
+    candidates, so matches remain exact; only the tie-break differs from the
+    sequential definition by a hair.
+
+    cands: (N, K) int32, nearest-first, 0 = none. Returns (N,) offsets.
+    """
+    n, k = cands.shape
+    seg = cands.reshape(n // 4, 4, k)
+    dflt = seg[..., 0]
+
+    def comb(a, b):
+        a_keep, a_dflt = a
+        b_keep, b_dflt = b
+
+        def in_b(x):
+            return jnp.any((x[..., None] == b_keep[..., None, :]) &
+                           (x[..., None] > 0), axis=-1)
+
+        keep = jnp.where(in_b(a_keep), a_keep, 0)
+        d = jnp.where(in_b(a_dflt[..., None])[..., 0], a_dflt, b_dflt)
+        return keep, d
+
+    _, sticky = jax.lax.associative_scan(comb, (seg, dflt), axis=0)
+    return sticky.reshape(n)
+
+
+def _match_lengths(off: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
+    """Exact match length (capped at 68) per position from sticky offsets.
+
+    Stride-4 chains: link[j] means the match at j continues at j+4 with the
+    same offset; capped run-length doubling over uniform rolls (no gathers)
+    gives 4-byte-quantized lengths. The four stride-4 lanes are then fused
+    (phase max): a match at i+p (p<4) with the same offset extends i's match
+    to p + len(i+p), recovering sub-4-byte tails exactly.
+    """
+    m4 = off > 0
+    link = m4 & jnp.roll(m4, -4, axis=-1) & (jnp.roll(off, -4, axis=-1) == off)
+    r = link.astype(jnp.int32)
+    step = 1
+    for _ in range(4):
+        r = jnp.where(r == step, step + jnp.roll(r, -4 * step, axis=-1), r)
+        step *= 2
+    mlq = jnp.where(m4, 4 + 4 * jnp.minimum(r, 16), 0)
+
+    ml = mlq
+    for p in (1, 2, 3):
+        agree = (jnp.roll(off, -p, axis=-1) == off) & jnp.roll(m4, -p, axis=-1)
+        ml = jnp.maximum(ml, jnp.where(agree, p + jnp.roll(mlq, -p, axis=-1), 0))
+    ml = jnp.where(m4, ml, 0)
+    return jnp.minimum(ml, n - iota)
+
+
+def _propagate(ml: jax.Array, off: jax.Array, iota: jax.Array):
+    """Suffix-match propagation: ml'[i] = max_{j<=i} (ml[j] - (i-j)).
+
+    A match of length L at j implies a match of length L-k at j+k with the
+    same offset, so max-plus-scan = cummax of (ml + iota). Guarantees the
+    60/64 chaining rule always finds its continuation match (the role of the
+    RTL's `continue` chained-copy flag, CopyCompress.scala:80,143).
+    """
+    pv = ml + iota
+
+    def comb(a, b):
+        av, ao = a
+        bv, bo = b
+        take_b = bv >= av
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bo, ao)
+
+    pvs, offp = jax.lax.associative_scan(comb, (pv, off), axis=-1)
+    mlp = jnp.minimum(pvs - iota, 68)
+    return mlp, offp
+
+
+def _jump(mlp: jax.Array) -> jax.Array:
+    """Greedy advance per position: literals move 1; matches move by emitted
+    copy length, splitting long matches 64/60-then-rest so the final element
+    stays >= 4 (fmt.copy_fragment_lengths rule)."""
+    return jnp.where(
+        mlp < 4, 1,
+        jnp.where(mlp <= 64, mlp, jnp.where(mlp < 68, 60, 64)))
+
+
+def encode_block(block: jax.Array, n: jax.Array,
+                 cfg: CodecConfig = DEFAULT_CONFIG):
+    """Encode one 64 KB block.
+
+    block: (65536,) uint8 (zero-padded past n); n: scalar int32.
+    Returns (out, out_len): out is (block_capacity,) uint8 of raw Snappy
+    elements (no stream preamble), valid up to out_len.
+    """
+    iota = jnp.arange(N, dtype=jnp.int32)
+    cap = cfg.block_capacity
+
+    # --- MATCH + EXTEND ---
+    w = _windows_u32(block)
+    cands = _candidate_offsets(w, n, iota, cfg.candidates)
+    off_s = _sticky_offsets(cands)
+    ml = _match_lengths(off_s, n, iota)
+    # Profitability filter: short matches with 3-byte copy2 tags that also
+    # split a literal run are net-negative (software Snappy's skip heuristic
+    # sidesteps them on incompressible data; we drop them explicitly).
+    # Drop len-4 @ far offset always, len-5 @ far offset when no other match
+    # starts in the 16 bytes before (isolated => a literal split is certain).
+    m4cnt = jnp.cumsum((ml > 0).astype(jnp.int32), axis=-1)
+    before16 = m4cnt - jnp.where(iota >= 17, jnp.roll(m4cnt, 17, axis=-1), 0)
+    isolated = (before16 - (ml > 0)) == 0
+    near = off_s < fmt.COPY1_MAX_OFFSET
+    keep = ((ml >= 5) | near) & ((ml >= 6) | near | ~isolated)
+    ml = jnp.where(keep, ml, 0)
+    mlp, off = _propagate(ml, off_s, iota)
+
+    # --- COMMIT ---
+    jump = _jump(mlp)
+    committed = scan.commit_bounded(jump) & (iota < n)
+    is_copy = committed & (jump >= 4)
+    is_lit = committed & ~is_copy
+
+    # --- EMIT ---
+    prev_lit = jnp.roll(is_lit, 1, axis=-1).at[..., 0].set(False)
+    lit_start = is_lit & ~prev_lit
+    elem = is_copy | lit_start
+
+    run_end = jnp.minimum(scan.next_element_start(elem, N), n)
+    lit_len = jnp.maximum(run_end - iota, 1)  # valid at lit_start only
+
+    cpy_len = jump
+    copy_small = (cpy_len <= fmt.COPY1_MAX_LEN) & (off < fmt.COPY1_MAX_OFFSET)
+    copy_sz = jnp.where(copy_small, 2, 3)
+    lit_hdr = jnp.where(lit_len <= 60, 1, jnp.where(lit_len <= 256, 2, 3))
+    esz = jnp.where(is_copy, copy_sz, lit_hdr + lit_len)
+    esz = jnp.where(elem, esz, 0)
+    out_off = scan.exclusive_cumsum(esz)
+    total = jnp.sum(esz)
+
+    # Header byte values (all three lanes computed everywhere, masked on use).
+    n1 = lit_len - 1
+    lt0 = jnp.where(lit_len <= 60, n1 << 2,
+                    jnp.where(lit_len <= 256, 60 << 2, 61 << 2))
+    ct0 = jnp.where(
+        copy_small,
+        1 | ((cpy_len - 4) << 2) | ((off >> 8) << 5),
+        2 | ((cpy_len - 1) << 2))
+    t0 = jnp.where(is_copy, ct0, lt0)
+    t1 = jnp.where(is_copy, off, n1) & 0xFF
+    t2 = (jnp.where(is_copy, off, n1) >> 8) & 0xFF
+    hdr = jnp.where(is_copy, copy_sz, lit_hdr)
+
+    out = jnp.zeros(cap + 1, jnp.uint8)  # slot `cap` swallows masked writes
+    d0 = jnp.where(elem, out_off, cap)
+    d1 = jnp.where(elem & (hdr >= 2), out_off + 1, cap)
+    d2 = jnp.where(elem & (hdr >= 3), out_off + 2, cap)
+    out = out.at[d0].set(t0.astype(jnp.uint8))
+    out = out.at[d1].set(t1.astype(jnp.uint8))
+    out = out.at[d2].set(t2.astype(jnp.uint8))
+
+    # Literal payload: q[i] = out_off[s] + hdr[s] + (i - s) for run start s.
+    base = out_off + lit_hdr - iota
+    basef = scan.ffill(lit_start, base)
+    q = jnp.where(is_lit, basef + iota, cap)
+    out = out.at[q].set(block)
+
+    return out[:cap], total
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_blocks(blocks: jax.Array, lengths: jax.Array,
+                  cfg: CodecConfig = DEFAULT_CONFIG):
+    """Batched block encode: blocks (B, 65536) uint8, lengths (B,) int32.
+    Returns (out (B, capacity) uint8, out_lens (B,) int32)."""
+    return jax.vmap(lambda b, n: encode_block(b, n, cfg))(blocks, lengths)
