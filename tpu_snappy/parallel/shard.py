@@ -1,0 +1,114 @@
+"""Data-parallel codec over a device mesh.
+
+Blocks shard across chips on the `dp` axis; per-block work (sort-based
+matching, commit scan, emission) stays chip-local — mirroring the
+reference's per-job hash-table locality (clearPresent per job,
+MatchFinder.scala:55) — and the variable-length results are reassembled in
+original block order from an (offset, length) manifest. The manifest gather
+is the only cross-chip communication (XLA lowers it to an all-gather over
+ICI/DCN from the output shardings).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from .. import format as fmt
+from ..config import CodecConfig, DEFAULT_CONFIG
+from ..ops import decode as ops_decode
+from ..ops import encode as ops_encode
+from . import mesh as meshlib
+
+
+def pad_count(count: int, n_devices: int) -> int:
+    """Work items padded to a multiple of the mesh size (empty blocks encode
+    to zero bytes and drop out at assembly)."""
+    return -(-count // n_devices) * n_devices
+
+
+@functools.lru_cache(maxsize=8)
+def _encode_fn(mesh, cfg: CodecConfig):
+    """Jitted sharded encode: payload stays block-sharded on its device;
+    the length manifest is replicated (the all-gather)."""
+    return jax.jit(
+        lambda blocks, lengths: ops_encode.encode_blocks(blocks, lengths, cfg),
+        in_shardings=(meshlib.block_sharding(mesh), meshlib.scalar_sharding(mesh)),
+        out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _decode_fn(mesh):
+    return jax.jit(
+        lambda frags, clens, ulens: jax.vmap(ops_decode.decode_fragment)(
+            frags, clens, ulens),
+        in_shardings=(meshlib.block_sharding(mesh),
+                      meshlib.scalar_sharding(mesh),
+                      meshlib.scalar_sharding(mesh)),
+        out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
+    )
+
+
+def blocks_of(data: bytes, block_size: int, padded: int):
+    """Host-side split of `data` into (padded, 65536) blocks + lengths."""
+    n = len(data)
+    arr = np.zeros((padded, fmt.BLOCK_SIZE), dtype=np.uint8)
+    flat = np.frombuffer(data, dtype=np.uint8)
+    nblocks = max(1, -(-n // block_size))
+    for i in range(nblocks):
+        chunk = flat[i * block_size:(i + 1) * block_size]
+        arr[i, : len(chunk)] = chunk
+    lengths = np.minimum(
+        np.maximum(n - np.arange(padded, dtype=np.int64) * block_size, 0),
+        block_size).astype(np.int32)
+    return arr, lengths, nblocks
+
+
+def encode_dp(data: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+    """Compress `data` with blocks sharded data-parallel over `mesh`."""
+    n = len(data)
+    nblocks = max(1, -(-n // cfg.block_size))
+    padded = pad_count(nblocks, mesh.devices.size)
+    arr, lengths, nblocks = blocks_of(data, cfg.block_size, padded)
+
+    blocks = jax.device_put(arr, meshlib.block_sharding(mesh))
+    lens = jax.device_put(lengths, meshlib.scalar_sharding(mesh))
+    out, out_lens = _encode_fn(mesh, cfg)(blocks, lens)
+
+    # Ordered assembly on host from the manifest (exclusive-scan offsets).
+    out_np = np.asarray(out)
+    lens_np = np.asarray(out_lens)
+    parts = [fmt.varint_encode(n)]
+    for i in range(nblocks):
+        parts.append(out_np[i, : lens_np[i]].tobytes())
+    return b"".join(parts)
+
+
+def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+    """Fragment-parallel decompression sharded over `mesh`."""
+    total, start = fmt.varint_decode(comp)
+    if total == 0:
+        return b""
+    frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
+    nfrag = len(clens)
+    padded = pad_count(nfrag, mesh.devices.size)
+    if padded != nfrag:
+        frags = np.pad(frags, ((0, padded - nfrag), (0, 0)))
+        clens = np.pad(clens, (0, padded - nfrag))
+        ulens = np.pad(ulens, (0, padded - nfrag))
+
+    out, ok = _decode_fn(mesh)(
+        jax.device_put(frags, meshlib.block_sharding(mesh)),
+        jax.device_put(np.asarray(clens, np.int32), meshlib.scalar_sharding(mesh)),
+        jax.device_put(np.asarray(ulens, np.int32), meshlib.scalar_sharding(mesh)),
+    )
+    if not bool(np.all(np.asarray(ok)[:nfrag])):
+        raise ValueError("invalid Snappy stream")
+    out_np = np.asarray(out)
+    result = b"".join(out_np[i, : ulens[i]].tobytes() for i in range(nfrag))
+    if len(result) != total:
+        raise ValueError("length mismatch vs preamble")
+    return result

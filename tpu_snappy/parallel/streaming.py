@@ -1,0 +1,93 @@
+"""Streaming driver for inputs larger than device memory.
+
+The reference's answer to "input bigger than fast memory" is the sliding
+ring-buffer window (MemoryController.scala:184-187). Snappy's 64 KB window
+makes the TPU answer simpler: stream the input in multi-block waves, keep
+two waves in flight (host->device copy of wave k+1 overlaps device encode of
+wave k — the MemoryController compute/IO-overlap role), and append each
+wave's manifest-ordered output to the sink. Multi-host runs shard each wave
+over the full mesh; the per-wave manifest all-gather is the only
+synchronization point, which is also the natural resume point
+(SURVEY.md §5 checkpoint note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import BinaryIO, Iterator
+
+import jax
+import numpy as np
+
+from .. import format as fmt
+from ..config import CodecConfig, DEFAULT_CONFIG
+from . import mesh as meshlib
+from . import shard
+
+
+@dataclasses.dataclass
+class StreamStats:
+    in_bytes: int = 0
+    out_bytes: int = 0
+    waves: int = 0
+
+    @property
+    def ratio(self) -> float:
+        return self.in_bytes / max(1, self.out_bytes)
+
+
+def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
+                    blocks_per_wave: int = 64,
+                    cfg: CodecConfig = DEFAULT_CONFIG) -> StreamStats:
+    """Compress `total_len` bytes from src to dst in double-buffered waves.
+
+    The output is one standard Snappy stream (single varint preamble);
+    every wave is a whole number of 64 KB blocks so waves concatenate
+    seamlessly.
+    """
+    if mesh is None:
+        mesh = meshlib.make_mesh()
+    n_dev = mesh.devices.size
+    blocks_per_wave = shard.pad_count(blocks_per_wave, n_dev)
+    wave_bytes = blocks_per_wave * cfg.block_size
+    enc = shard._encode_fn(mesh, cfg)
+    bspec = meshlib.block_sharding(mesh)
+    sspec = meshlib.scalar_sharding(mesh)
+
+    stats = StreamStats()
+    dst.write(fmt.varint_encode(total_len))
+    stats.out_bytes += fmt.varint_size(total_len)
+
+    def waves() -> Iterator[tuple]:
+        remaining = total_len
+        while remaining > 0:
+            take = min(wave_bytes, remaining)
+            buf = src.read(take)
+            if len(buf) != take:
+                raise IOError("short read from source")
+            remaining -= take
+            arr, lengths, nblocks = shard.blocks_of(buf, cfg.block_size,
+                                                    blocks_per_wave)
+            yield (jax.device_put(arr, bspec),
+                   jax.device_put(lengths, sspec), nblocks, take)
+
+    pending = None  # (out, out_lens, nblocks, take) of the wave in flight
+    for blocks, lens, nblocks, take in waves():
+        out, out_lens = enc(blocks, lens)  # async dispatch
+        if pending is not None:
+            _drain(pending, dst, stats)
+        pending = (out, out_lens, nblocks, take)
+    if pending is not None:
+        _drain(pending, dst, stats)
+    return stats
+
+
+def _drain(pending, dst, stats) -> None:
+    out, out_lens, nblocks, take = pending
+    out_np = np.asarray(out)
+    lens_np = np.asarray(out_lens)
+    for i in range(nblocks):
+        dst.write(out_np[i, : lens_np[i]].tobytes())
+        stats.out_bytes += int(lens_np[i])
+    stats.in_bytes += take
+    stats.waves += 1

@@ -45,6 +45,9 @@ def corpus_files() -> list[str]:
     for p in sorted(BENCH_DATA.iterdir()):
         if "_" in p.name or p.stat().st_size >= 5_000_000:
             continue
+        typ = p.name.partition("-")[0]
+        if typ not in TYPES or p.stat().st_size == 0:
+            continue  # stray/empty fixtures (e.g. the empty alignerTestData)
         out.append(p.name)
     return out
 
