@@ -106,11 +106,9 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
     ok &= ~jnp.any(bad_copy)
 
     # --- TRANSPORT: literal payload scatter (compressed -> output space) ---
-    estart = scan.ffill(tags, iota)
-    eopos = scan.ffill(tags, opos)
-    ehdr = scan.ffill(tags, hdr)
-    eislit = scan.ffill(tags, is_lit.astype(jnp.int32)) == 1
-    is_payload = eislit & (iota >= estart + ehdr) & (iota < clen)
+    estart, eopos, ehdr, eislit = scan.ffill_many(
+        tags, (iota, opos, hdr, is_lit.astype(jnp.int32)))
+    is_payload = (eislit == 1) & (iota >= estart + ehdr) & (iota < clen)
     out_q = eopos + iota - estart - ehdr
     dump = OUT
     lit_out = jnp.zeros(OUT + 1, jnp.uint8)
@@ -118,21 +116,32 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
 
     # --- RESOLVE: copy chains over output space ---
     oiota = jnp.arange(OUT, dtype=jnp.int32)
-    # Scatter element descriptors at their output start, fill across bytes.
-    mark = jnp.zeros(OUT + 1, jnp.bool_).at[
-        jnp.where(tags, jnp.minimum(opos, OUT), dump)].set(True)[:OUT]
-    o_off = jnp.zeros(OUT + 1, jnp.int32).at[
-        jnp.where(tags & ~is_lit, jnp.minimum(opos, OUT), dump)].set(off)
-    o_lit = jnp.zeros(OUT + 1, jnp.int32).at[
-        jnp.where(tags, jnp.minimum(opos, OUT), dump)].set(is_lit.astype(jnp.int32))
-    # Element starts are unique output positions, but a literal start can
-    # collide with a following zero-length... (cannot: outbytes >= 1), safe.
-    off_f = scan.ffill(mark, o_off[:OUT])
-    lit_f = scan.ffill(mark, o_lit[:OUT]) == 1
+    # One scatter of packed element descriptors (offset:17 | is_lit:1 |
+    # mark:1) at their output start, then fill across bytes.
+    desc = (jnp.where(is_lit, 0, off) << 2) | (is_lit.astype(jnp.int32) << 1) | 1
+    o_desc = jnp.zeros(OUT + 1, jnp.int32).at[
+        jnp.where(tags, jnp.minimum(opos, OUT), dump)].set(desc)[:OUT]
+    desc_f = scan.ffill(o_desc != 0, o_desc)
+    lit_f = (desc_f & 2) != 0
+    off_f = desc_f >> 2
     src = jnp.where(lit_f, oiota, oiota - off_f)
     src = jnp.clip(src, 0, OUT - 1)
-    for _ in range(16):  # chase depth <= 65536 => 16 doubling rounds
-        src = src[src]
+
+    # Pointer doubling with early exit: depth <= 65536 needs at most 16
+    # rounds, but typical streams converge in 2-5 (deep chains only arise
+    # from heavy RLE), and each round is a full 64K gather — stop as soon as
+    # the mapping is idempotent.
+    def _cond(c):
+        s, it, done = c
+        return (it < 16) & ~done
+
+    def _body(c):
+        s, it, _ = c
+        s2 = s[s]
+        return s2, it + 1, jnp.all(s2 == s)
+
+    src, _, _ = jax.lax.while_loop(
+        _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
     out = lit_out[:OUT][src]
     out = jnp.where(oiota < ulen, out, 0)
     return out, ok

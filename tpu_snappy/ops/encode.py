@@ -78,10 +78,23 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
         same = (w_s == prev_w) & (rank >= shift) & (prev_pos <= n - 4) & (pos_s <= n - 4)
         offs.append(jnp.where(same, pos_s - prev_pos, 0))
 
-    # Permutation scatter back to position space, all K lanes at once.
-    stacked = jnp.stack(offs, axis=-1)  # (N, K)
-    out = jnp.zeros((N, k), jnp.int32).at[pos_s].set(stacked)
-    return out  # (N, K)
+    # Back to position space. A scatter would cost ~700us/block on TPU; the
+    # TPU-native permutation scatter is a second sort keyed by position,
+    # with offsets (16-bit by construction) packed in pairs to halve the
+    # payload operands.
+    packed = [
+        (offs[2 * j].astype(jnp.uint32)
+         | (offs[2 * j + 1].astype(jnp.uint32) << 16) if 2 * j + 1 < k
+         else offs[2 * j].astype(jnp.uint32))
+        for j in range((k + 1) // 2)
+    ]
+    back = jax.lax.sort((pos_s, *packed), num_keys=1)[1:]
+    out = []
+    for j, p in enumerate(back):
+        out.append((p & 0xFFFF).astype(jnp.int32))
+        if 2 * j + 1 < k:
+            out.append((p >> 16).astype(jnp.int32))
+    return jnp.stack(out, axis=-1)  # (N, K)
 
 
 def _sticky_offsets(cands: jax.Array) -> jax.Array:
@@ -103,15 +116,21 @@ def _sticky_offsets(cands: jax.Array) -> jax.Array:
     candidates, so matches remain exact; only the tie-break differs from the
     sequential definition by a hair.
 
+    Truncation: a sticky chain only needs to persist ~17 stride-4 steps (the
+    run-length computation caps at 16 links = 68 bytes), so a windowed
+    Hillis-Steele composition over the last 64 transfers (6 roll levels)
+    replaces a full-length scan at identical parse quality.
+
     cands: (N, K) int32, nearest-first, 0 = none. Returns (N,) offsets.
     """
     n, k = cands.shape
-    seg = cands.reshape(n // 4, 4, k)
-    dflt = seg[..., 0]
+    keeps = cands  # (N, K)
+    dflt = cands[..., 0]  # (N,)
+    iota = jnp.arange(n, dtype=jnp.int32)
 
-    def comb(a, b):
-        a_keep, a_dflt = a
-        b_keep, b_dflt = b
+    def compose(shift, state):
+        a_keep, a_dflt = jnp.roll(state[0], shift, axis=0), jnp.roll(state[1], shift, axis=0)
+        b_keep, b_dflt = state
 
         def in_b(x):
             return jnp.any((x[..., None] == b_keep[..., None, :]) &
@@ -119,10 +138,16 @@ def _sticky_offsets(cands: jax.Array) -> jax.Array:
 
         keep = jnp.where(in_b(a_keep), a_keep, 0)
         d = jnp.where(in_b(a_dflt[..., None])[..., 0], a_dflt, b_dflt)
+        # Window start: no left context rolls in from the array end.
+        edge = (iota < shift)
+        keep = jnp.where(edge[..., None], b_keep, keep)
+        d = jnp.where(edge, b_dflt, d)
         return keep, d
 
-    _, sticky = jax.lax.associative_scan(comb, (seg, dflt), axis=0)
-    return sticky.reshape(n)
+    state = (keeps, dflt)
+    for lvl in range(6):  # composes the last 64 stride-4 transfers
+        state = compose(4 << lvl, state)
+    return state[1]
 
 
 def _match_lengths(off: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
@@ -158,16 +183,19 @@ def _propagate(ml: jax.Array, off: jax.Array, iota: jax.Array):
     same offset, so max-plus-scan = cummax of (ml + iota). Guarantees the
     60/64 chaining rule always finds its continuation match (the role of the
     RTL's `continue` chained-copy flag, CopyCompress.scala:80,143).
+
+    Truncation: ml caps at 68, so inheritance from more than 128 positions
+    back is always negative — a windowed max (7 roll levels) suffices.
     """
     pv = ml + iota
-
-    def comb(a, b):
-        av, ao = a
-        bv, bo = b
-        take_b = bv >= av
-        return jnp.where(take_b, bv, av), jnp.where(take_b, bo, ao)
-
-    pvs, offp = jax.lax.associative_scan(comb, (pv, off), axis=-1)
+    pvs, offp = pv, off
+    for lvl in range(7):  # window 128 >= the 68-byte inheritance horizon
+        shift = 1 << lvl
+        av = jnp.roll(pvs, shift, axis=-1).at[..., :shift].set(-1)
+        ao = jnp.roll(offp, shift, axis=-1)
+        take_a = av > pvs
+        pvs = jnp.where(take_a, av, pvs)
+        offp = jnp.where(take_a, ao, offp)
     mlp = jnp.minimum(pvs - iota, 68)
     return mlp, offp
 
@@ -246,21 +274,45 @@ def encode_block(block: jax.Array, n: jax.Array,
     t2 = (jnp.where(is_copy, off, n1) >> 8) & 0xFF
     hdr = jnp.where(is_copy, copy_sz, lit_hdr)
 
-    out = jnp.zeros(cap + 1, jnp.uint8)  # slot `cap` swallows masked writes
-    d0 = jnp.where(elem, out_off, cap)
-    d1 = jnp.where(elem & (hdr >= 2), out_off + 1, cap)
-    d2 = jnp.where(elem & (hdr >= 3), out_off + 2, cap)
-    out = out.at[d0].set(t0.astype(jnp.uint8))
-    out = out.at[d1].set(t1.astype(jnp.uint8))
-    out = out.at[d2].set(t2.astype(jnp.uint8))
+    # --- byte placement ---
+    # A scatter costs ~700us/block on TPU; the TPU-native way to place bytes
+    # at computed offsets is a sort by destination: pack (dest << 8 | byte)
+    # and sort — rank j of the result IS output byte j (destinations are
+    # exactly 0..total-1, each written once). Two lanes suffice: the 2nd/3rd
+    # header byte of an element rides the lane of position i+1/i+2, which
+    # never starts an element nor carries a literal payload byte (elements
+    # with multi-byte headers cover those positions themselves).
+    def rollz(x, s):  # roll toward higher indices, zero-fill
+        return jnp.roll(x, s, axis=-1).at[..., :s].set(0)
 
-    # Literal payload: q[i] = out_off[s] + hdr[s] + (i - s) for run start s.
+    e1 = rollz(elem, 1)
+    e2 = rollz(elem, 2)
+    a_t1 = e1 & (rollz(hdr, 1) >= 2)
+    a_t2 = e2 & (rollz(hdr, 2) >= 3)
+    lane_a_val = jnp.where(elem, t0,
+                           jnp.where(a_t1, rollz(t1, 1), rollz(t2, 2)))
+    lane_a_dst = jnp.where(elem, out_off,
+                           jnp.where(a_t1, rollz(out_off, 1) + 1,
+                                     rollz(out_off, 2) + 2))
+    lane_a_on = elem | a_t1 | a_t2
+
+    # Literal payload: dest = out_off[s] + hdr[s] + (i - s) for run start s.
     base = out_off + lit_hdr - iota
     basef = scan.ffill(lit_start, base)
-    q = jnp.where(is_lit, basef + iota, cap)
-    out = out.at[q].set(block)
+    lane_b_dst = basef + iota
 
-    return out[:cap], total
+    inactive = jnp.uint32(0xFFFFFFFF)
+    pack_a = jnp.where(
+        lane_a_on,
+        (lane_a_dst.astype(jnp.uint32) << 8) | (lane_a_val.astype(jnp.uint32) & 0xFF),
+        inactive)
+    pack_b = jnp.where(
+        is_lit,
+        (lane_b_dst.astype(jnp.uint32) << 8) | block.astype(jnp.uint32),
+        inactive)
+    placed = jnp.sort(jnp.concatenate([pack_a, pack_b], axis=-1), axis=-1)
+    out = (placed & 0xFF).astype(jnp.uint8)[..., :cap]
+    return out, total
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

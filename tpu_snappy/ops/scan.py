@@ -32,19 +32,40 @@ import jax.numpy as jnp
 S = 64  # segment width == MAX_COPY_LEN; the encode invariant jump <= S
 
 
+def gather_s(maps: jax.Array, idx: jax.Array) -> jax.Array:
+    """Within-segment gather y[..., g, t] = maps[..., g, idx[..., g, t]].
+
+    TPU has no vector-gather unit; XLA lowers take_along_axis to a ~700us/
+    64K-block scalar path. A one-hot matmul on the MXU is ~10x faster and
+    exact: values here are int32 < 2^18 (f32 integers are exact < 2^24).
+    """
+    oh = (idx[..., :, :, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)).astype(jnp.float32)
+    out = jnp.einsum("...ts,...s->...t", oh, maps.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(maps.dtype)
+
+
 def ffill(mask: jax.Array, vals: jax.Array) -> jax.Array:
     """Forward-fill `vals` from the latest position where mask is true.
 
     Positions before the first true mask keep vals' original entry.
     Works along the last axis; batch dims broadcast.
     """
-    def comb(a, b):
-        ma, xa = a
-        mb, xb = b
-        return ma | mb, jnp.where(mb, xb, xa)
+    return ffill_many(mask, (vals,))[0]
 
-    _, filled = jax.lax.associative_scan(comb, (mask, vals), axis=-1)
-    return filled
+
+def ffill_many(mask: jax.Array, vals: tuple) -> tuple:
+    """Forward-fill several arrays from the same mask in one scan pass
+    (one traversal instead of len(vals) — scans are HBM-bound)."""
+    def comb(a, b):
+        ma = a[0]
+        mb = b[0]
+        out = tuple(jnp.where(mb, xb, xa) for xa, xb in zip(a[1:], b[1:]))
+        return (ma | mb,) + out
+
+    res = jax.lax.associative_scan(comb, (mask,) + tuple(vals), axis=-1)
+    return res[1:]
 
 
 def exclusive_cumsum(x: jax.Array) -> jax.Array:
@@ -76,15 +97,14 @@ def segment_exit_maps(jump: jax.Array) -> jax.Array:
     # min jump 1 => at most S hops => 6 rounds suffice.
     for _ in range(6):
         idx = jnp.clip(t, 0, S - 1)
-        t = jnp.where(t >= S, t, jnp.take_along_axis(t, idx, axis=-1))
+        t = jnp.where(t >= S, t, gather_s(t, idx))
     return t - S
 
 
 def _compose(f: jax.Array, g: jax.Array) -> jax.Array:
     """Compose exit maps: f covers earlier segments. Requires all f-values < S
     (the encode invariant), so the state never skips g's leading segment."""
-    fid = jnp.clip(f, 0, S - 1)
-    return jnp.take_along_axis(g, fid, axis=-1)
+    return gather_s(g, jnp.clip(f, 0, S - 1))
 
 
 def entry_states_bounded(exit_maps: jax.Array) -> jax.Array:
