@@ -36,6 +36,16 @@ import numpy as np
 from .. import format as fmt
 from ..config import CodecConfig, DEFAULT_CONFIG
 from . import scan
+from .pallas import gather as pallas_gather
+
+
+def _gather_out(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """64K-domain dynamic gather: MXU one-hot kernel on TPU (2.3x XLA's
+    scalar gather path), plain indexing elsewhere. Values must fit 16 bits
+    (output positions and bytes do)."""
+    if jax.devices()[0].platform == "tpu":
+        return pallas_gather.gather_block(x, idx)
+    return x[idx]
 
 #: Per-fragment compressed capacity. A 64 KB fragment from any sane encoder
 #: compresses to <= 65536 + headers; adversarial-but-valid streams (e.g. all
@@ -137,12 +147,12 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
 
     def _body(c):
         s, it, _ = c
-        s2 = s[s]
+        s2 = _gather_out(s, s)
         return s2, it + 1, jnp.all(s2 == s)
 
     src, _, _ = jax.lax.while_loop(
         _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
-    out = lit_out[:OUT][src]
+    out = _gather_out(lit_out[:OUT].astype(jnp.int32), src).astype(jnp.uint8)
     out = jnp.where(oiota < ulen, out, 0)
     return out, ok
 
