@@ -37,15 +37,29 @@ from .. import format as fmt
 from ..config import CodecConfig, DEFAULT_CONFIG
 from . import scan
 from .pallas import gather as pallas_gather
+from .pallas import scatter as pallas_scatter
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
 
 
 def _gather_out(x: jax.Array, idx: jax.Array) -> jax.Array:
     """64K-domain dynamic gather: MXU one-hot kernel on TPU (2.3x XLA's
     scalar gather path), plain indexing elsewhere. Values must fit 16 bits
     (output positions and bytes do)."""
-    if jax.devices()[0].platform == "tpu":
+    if _on_tpu():
         return pallas_gather.gather_block(x, idx)
     return x[idx]
+
+
+def _scatter_out(dest: jax.Array, values: jax.Array, limbs: int) -> jax.Array:
+    """Unique-destination scatter onto a 64K output block (dest == 65536
+    drops); MXU one-hot kernel on TPU, .at[].set elsewhere. Returns (65536,)
+    int32 with unwritten cells 0."""
+    if _on_tpu():
+        return pallas_scatter.scatter_block(dest, values, limbs)
+    return jnp.zeros(OUT + 1, jnp.int32).at[dest].set(values)[:OUT]
 
 #: Per-fragment compressed capacity. A 64 KB fragment from any sane encoder
 #: compresses to <= 65536 + headers; adversarial-but-valid streams (e.g. all
@@ -121,16 +135,17 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
     is_payload = (eislit == 1) & (iota >= estart + ehdr) & (iota < clen)
     out_q = eopos + iota - estart - ehdr
     dump = OUT
-    lit_out = jnp.zeros(OUT + 1, jnp.uint8)
-    lit_out = lit_out.at[jnp.where(is_payload, out_q, dump)].set(c)
+    lit_out = _scatter_out(
+        jnp.where(is_payload, jnp.clip(out_q, 0, OUT), dump),
+        c.astype(jnp.int32), limbs=1)
 
     # --- RESOLVE: copy chains over output space ---
     oiota = jnp.arange(OUT, dtype=jnp.int32)
     # One scatter of packed element descriptors (offset:17 | is_lit:1 |
     # mark:1) at their output start, then fill across bytes.
     desc = (jnp.where(is_lit, 0, off) << 2) | (is_lit.astype(jnp.int32) << 1) | 1
-    o_desc = jnp.zeros(OUT + 1, jnp.int32).at[
-        jnp.where(tags, jnp.minimum(opos, OUT), dump)].set(desc)[:OUT]
+    o_desc = _scatter_out(
+        jnp.where(tags, jnp.minimum(opos, OUT), dump), desc, limbs=3)
     desc_f = scan.ffill(o_desc != 0, o_desc)
     lit_f = (desc_f & 2) != 0
     off_f = desc_f >> 2
@@ -152,7 +167,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
 
     src, _, _ = jax.lax.while_loop(
         _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
-    out = _gather_out(lit_out[:OUT].astype(jnp.int32), src).astype(jnp.uint8)
+    out = _gather_out(lit_out, src).astype(jnp.uint8)
     out = jnp.where(oiota < ulen, out, 0)
     return out, ok
 

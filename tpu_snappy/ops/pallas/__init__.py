@@ -1,1 +1,2 @@
 from . import gather  # noqa: F401
+from . import scatter  # noqa: F401
