@@ -59,8 +59,13 @@ def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
         from . import reference_codec
         return reference_codec.decompress(comp)
     out, ok = ops_decode.decode_fragments(frags, fstarts, fulens, cfg)
-    if not bool(np.all(np.asarray(ok))):
-        raise ValueError("invalid Snappy stream")
+    ok = np.asarray(ok)
+    if not ok.all():
+        bad = np.nonzero(~ok)[0]
+        raise ValueError(
+            f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
+            f"{len(ok)} failed validation (bad offsets, truncated chain, or "
+            f"length mismatch)")
     out = np.asarray(out)
     parts = []
     for i in range(len(fulens)):

@@ -105,8 +105,12 @@ def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
         jax.device_put(np.asarray(clens, np.int32), meshlib.scalar_sharding(mesh)),
         jax.device_put(np.asarray(ulens, np.int32), meshlib.scalar_sharding(mesh)),
     )
-    if not bool(np.all(np.asarray(ok)[:nfrag])):
-        raise ValueError("invalid Snappy stream")
+    okv = np.asarray(ok)[:nfrag]
+    if not okv.all():
+        bad = np.nonzero(~okv)[0]
+        raise ValueError(
+            f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
+            f"{nfrag} failed validation")
     out_np = np.asarray(out)
     result = b"".join(out_np[i, : ulens[i]].tobytes() for i in range(nfrag))
     if len(result) != total:

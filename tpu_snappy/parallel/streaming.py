@@ -38,12 +38,18 @@ class StreamStats:
 
 def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
                     blocks_per_wave: int = 64,
-                    cfg: CodecConfig = DEFAULT_CONFIG) -> StreamStats:
+                    cfg: CodecConfig = DEFAULT_CONFIG,
+                    resume: StreamStats | None = None) -> StreamStats:
     """Compress `total_len` bytes from src to dst in double-buffered waves.
 
     The output is one standard Snappy stream (single varint preamble);
     every wave is a whole number of 64 KB blocks so waves concatenate
     seamlessly.
+
+    Resume: the per-wave manifest is the natural checkpoint (SURVEY.md §5).
+    Pass the StreamStats of an interrupted run (with src seeked to
+    stats.in_bytes and dst positioned/truncated at stats.out_bytes) to
+    continue; completed waves are never recomputed.
     """
     if mesh is None:
         mesh = meshlib.make_mesh()
@@ -54,12 +60,17 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
     bspec = meshlib.block_sharding(mesh)
     sspec = meshlib.scalar_sharding(mesh)
 
-    stats = StreamStats()
-    dst.write(fmt.varint_encode(total_len))
-    stats.out_bytes += fmt.varint_size(total_len)
+    if resume is not None:
+        if resume.in_bytes % wave_bytes:
+            raise ValueError("resume point must be a whole number of waves")
+        stats = StreamStats(resume.in_bytes, resume.out_bytes, resume.waves)
+    else:
+        stats = StreamStats()
+        dst.write(fmt.varint_encode(total_len))
+        stats.out_bytes += fmt.varint_size(total_len)
 
     def waves() -> Iterator[tuple]:
-        remaining = total_len
+        remaining = total_len - stats.in_bytes
         while remaining > 0:
             take = min(wave_bytes, remaining)
             buf = src.read(take)
