@@ -79,15 +79,17 @@ def main():
     except Exception as e:  # native toolchain unavailable: report, don't fail
         log(f"golden harness unavailable: {e}")
 
-    # Throughput: dispatch ITERS full corpus passes, sync once at the end.
+    # Throughput: dispatch ITERS full corpus passes, then sync ONCE on the
+    # final manifest — the device queue is sequential, so the last result
+    # bounds all prior work, and every extra host fetch costs a full tunnel
+    # round-trip (~30 ms) that would otherwise dominate the measurement.
     ITERS = 5
     t0 = time.time()
-    manifests = []
+    last = None
     for _ in range(ITERS):
         for b, l in zip(blocks_d, lens_d):
-            manifests.append(enc(b, l)[1])
-    for m in manifests:
-        np.asarray(m)  # fetch the small manifests => full sync
+            last = enc(b, l)[1]
+    np.asarray(last)
     dt = time.time() - t0
     enc_gbps = n * ITERS / dt / 1e9
     log(f"encode: {ITERS} x {n/1e6:.1f} MB in {dt:.3f}s -> {enc_gbps:.3f} GB/s/chip")
@@ -110,12 +112,11 @@ def main():
     dec_ok = bool(np.concatenate(oks)[:nf].all())
     log(f"decode compile+first corpus pass: {time.time()-t0:.1f}s ok={dec_ok}")
     t0 = time.time()
-    outs = []
+    last = None
     for _ in range(ITERS):
         for f, c, u in zip(fd, cd, ud):
-            outs.append(dec(f, c, u)[1])
-    for o in outs:
-        np.asarray(o)
+            last = dec(f, c, u)[1]
+    np.asarray(last)
     dt = time.time() - t0
     dec_gbps = n * ITERS / dt / 1e9
     log(f"decode: {dec_gbps:.3f} GB/s/chip")
