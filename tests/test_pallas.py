@@ -77,3 +77,31 @@ def test_scatter_sparse():
     ref = np.zeros(N, np.int32)
     ref[dest[picks]] = vals[picks]
     assert (y == ref).all()
+
+
+def test_ffill_multi_payload():
+    from tpu_snappy.ops.pallas import ffill as F
+    rng = np.random.default_rng(7)
+    m = 68 * 1024
+    mask = rng.random(m) < 0.03
+    mask[0] = True
+    v1 = rng.integers(0, 1 << 19, m).astype(np.int32)
+    v2 = rng.integers(0, 1 << 16, m).astype(np.int32)
+    o1, o2 = F.ffill_block(jnp.asarray(mask), jnp.asarray(v1), jnp.asarray(v2))
+    idx = np.arange(m)
+    last = np.maximum.accumulate(np.where(mask, idx, 0))
+    assert (np.asarray(o1) == v1[last]).all()
+    assert (np.asarray(o2) == v2[last]).all()
+
+
+def test_ffill_sparse_and_leading():
+    from tpu_snappy.ops.pallas import ffill as F
+    m = 1024
+    mask = np.zeros(m, bool)
+    mask[500] = True
+    v = np.arange(m, dtype=np.int32)
+    (o,) = F.ffill_block(jnp.asarray(mask), jnp.asarray(v))
+    o = np.asarray(o)
+    # before the first mask: original values; after: filled with v[500]
+    assert (o[:500] == v[:500]).all()
+    assert (o[500:] == 500).all()

@@ -1,0 +1,76 @@
+"""Command-line codec driver.
+
+The role of the reference's host software (tests/compression.c main +
+workloads run-all.sh): compress/decompress files through the device codec,
+with optional mesh sharding and streaming for large inputs.
+
+  python -m tpu_snappy compress   <in> <out> [--mesh N] [--stream]
+  python -m tpu_snappy decompress <in> <out> [--mesh N]
+  python -m tpu_snappy roundtrip  <in>            # verify + report ratio
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpu_snappy")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("compress", "decompress", "roundtrip"):
+        p = sub.add_parser(name)
+        p.add_argument("infile", type=pathlib.Path)
+        if name != "roundtrip":
+            p.add_argument("outfile", type=pathlib.Path)
+        p.add_argument("--mesh", type=int, default=0,
+                       help="shard over N devices (0 = single-device api)")
+        if name == "compress":
+            p.add_argument("--stream", action="store_true",
+                           help="wave-streamed encode (for huge inputs)")
+            p.add_argument("--blocks-per-wave", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    from . import api
+    from .parallel import mesh as meshlib, shard, streaming
+
+    mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
+
+    if args.cmd == "compress":
+        n = args.infile.stat().st_size
+        t0 = time.perf_counter()
+        if args.stream:
+            with args.infile.open("rb") as src, args.outfile.open("wb") as dst:
+                stats = streaming.compress_stream(
+                    src, dst, n, mesh, blocks_per_wave=args.blocks_per_wave)
+            out_n = stats.out_bytes
+        else:
+            data = args.infile.read_bytes()
+            comp = shard.encode_dp(data, mesh) if mesh else api.compress(data)
+            args.outfile.write_bytes(comp)
+            out_n = len(comp)
+        dt = time.perf_counter() - t0
+        print(f"{n} -> {out_n} bytes (ratio {n / max(1, out_n):.3f}) "
+              f"in {dt:.2f}s [{n / dt / 1e6:.1f} MB/s]")
+    elif args.cmd == "decompress":
+        comp = args.infile.read_bytes()
+        t0 = time.perf_counter()
+        data = shard.decode_dp(comp, mesh) if mesh else api.decompress(comp)
+        dt = time.perf_counter() - t0
+        args.outfile.write_bytes(data)
+        print(f"{len(comp)} -> {len(data)} bytes in {dt:.2f}s "
+              f"[{len(data) / dt / 1e6:.1f} MB/s]")
+    else:  # roundtrip
+        data = args.infile.read_bytes()
+        comp = shard.encode_dp(data, mesh) if mesh else api.compress(data)
+        back = shard.decode_dp(comp, mesh) if mesh else api.decompress(comp)
+        ok = back == data
+        print(f"{len(data)};{len(comp)};{'OK' if ok else 'MISMATCH'}")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -36,6 +36,7 @@ import numpy as np
 from .. import format as fmt
 from ..config import CodecConfig, DEFAULT_CONFIG
 from . import scan
+from .pallas import ffill as pallas_ffill
 from .pallas import gather as pallas_gather
 from .pallas import scatter as pallas_scatter
 
@@ -60,6 +61,14 @@ def _scatter_out(dest: jax.Array, values: jax.Array, limbs: int) -> jax.Array:
     if _on_tpu():
         return pallas_scatter.scatter_block(dest, values, limbs)
     return jnp.zeros(OUT + 1, jnp.int32).at[dest].set(values)[:OUT]
+
+
+def _ffill(mask: jax.Array, vals: tuple) -> tuple:
+    """Multi-payload forward-fill: VMEM-resident Pallas kernel on TPU,
+    associative scan elsewhere."""
+    if _on_tpu():
+        return pallas_ffill.ffill_block(mask, *vals)
+    return scan.ffill_many(mask, vals)
 
 #: Per-fragment compressed capacity. A 64 KB fragment from any sane encoder
 #: compresses to <= 65536 + headers; adversarial-but-valid streams (e.g. all
@@ -130,7 +139,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
     ok &= ~jnp.any(bad_copy)
 
     # --- TRANSPORT: literal payload scatter (compressed -> output space) ---
-    estart, eopos, ehdr, eislit = scan.ffill_many(
+    estart, eopos, ehdr, eislit = _ffill(
         tags, (iota, opos, hdr, is_lit.astype(jnp.int32)))
     is_payload = (eislit == 1) & (iota >= estart + ehdr) & (iota < clen)
     out_q = eopos + iota - estart - ehdr
@@ -146,7 +155,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
     desc = (jnp.where(is_lit, 0, off) << 2) | (is_lit.astype(jnp.int32) << 1) | 1
     o_desc = _scatter_out(
         jnp.where(tags, jnp.minimum(opos, OUT), dump), desc, limbs=3)
-    desc_f = scan.ffill(o_desc != 0, o_desc)
+    desc_f = _ffill(o_desc != 0, (o_desc,))[0]
     lit_f = (desc_f & 2) != 0
     off_f = desc_f >> 2
     src = jnp.where(lit_f, oiota, oiota - off_f)
