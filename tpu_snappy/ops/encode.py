@@ -209,20 +209,9 @@ def _jump(mlp: jax.Array) -> jax.Array:
         jnp.where(mlp <= 64, mlp, jnp.where(mlp < 68, 60, 64)))
 
 
-def encode_block(block: jax.Array, n: jax.Array,
-                 cfg: CodecConfig = DEFAULT_CONFIG):
-    """Encode one 64 KB block.
-
-    block: (65536,) uint8 (zero-padded past n); n: scalar int32.
-    Returns (out, out_len): out is (block_capacity,) uint8 of raw Snappy
-    elements (no stream preamble), valid up to out_len.
-    """
-    iota = jnp.arange(N, dtype=jnp.int32)
-    cap = cfg.block_capacity
-
-    # --- MATCH + EXTEND ---
-    w = _windows_u32(block)
-    cands = _candidate_offsets(w, n, iota, cfg.candidates)
+def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array):
+    """Candidate table -> (jump, offset): XLA reference path, mirrored
+    bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py)."""
     off_s = _sticky_offsets(cands)
     ml = _match_lengths(off_s, n, iota)
     # Profitability filter: short matches with 3-byte copy2 tags that also
@@ -237,9 +226,31 @@ def encode_block(block: jax.Array, n: jax.Array,
     keep = ((ml >= 5) | near) & ((ml >= 6) | near | ~isolated)
     ml = jnp.where(keep, ml, 0)
     mlp, off = _propagate(ml, off_s, iota)
+    return _jump(mlp), off
+
+
+def encode_block(block: jax.Array, n: jax.Array,
+                 cfg: CodecConfig = DEFAULT_CONFIG):
+    """Encode one 64 KB block.
+
+    block: (65536,) uint8 (zero-padded past n); n: scalar int32.
+    Returns (out, out_len): out is (block_capacity,) uint8 of raw Snappy
+    elements (no stream preamble), valid up to out_len.
+    """
+    iota = jnp.arange(N, dtype=jnp.int32)
+    cap = cfg.block_capacity
+
+    # --- MATCH + EXTEND ---
+    w = _windows_u32(block)
+    cands = _candidate_offsets(w, n, iota, cfg.candidates)
+    if jax.devices()[0].platform == "tpu":
+        # Fused VMEM-resident kernel (bit-identical to the XLA path below).
+        from .pallas import matcher as pallas_matcher
+        jump, off = pallas_matcher.matcher_block(cands, n)
+    else:
+        jump, off = _matcher_xla(cands, n, iota)
 
     # --- COMMIT ---
-    jump = _jump(mlp)
     committed = scan.commit_bounded(jump) & (iota < n)
     is_copy = committed & (jump >= 4)
     is_lit = committed & ~is_copy

@@ -1,0 +1,151 @@
+"""Pallas TPU kernel: fused match pipeline (sticky offsets -> match lengths
+-> profitability filter -> suffix propagation -> greedy jumps).
+
+Mirrors ops/encode.py's _sticky_offsets/_match_lengths/_propagate/_jump
+exactly (same windowed Hillis-Steele structure, same tie-breaks), but fused
+in VMEM: the XLA version materializes ~40 intermediate (N,) arrays through
+HBM; here everything between the candidate table and the (jump, offset)
+pair stays on-chip.
+
+All shifts are <= 128, so rolls over the flattened row-major (512, 128)
+layout decompose as lane rolls with row-carry (see ffill.py) or pure
+sublane rolls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 1 << 16
+ROWS, LANES = 512, 128
+
+
+def _rollf(x, s):
+    """y[i] = x[i - s] in flattened order (forward roll)."""
+    if s % LANES == 0:
+        return pltpu.roll(x, s // LANES, axis=0)
+    assert s < LANES
+    z = pltpu.roll(x, s, axis=1)
+    zc = pltpu.roll(z, 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= s, z, zc)
+
+
+def _rollb(x, s):
+    """y[i] = x[i + s] in flattened order (backward roll, wrapping)."""
+    if s % LANES == 0:
+        return pltpu.roll(x, ROWS - s // LANES, axis=0)
+    assert s < LANES
+    z = pltpu.roll(x, LANES - s, axis=1)
+    zc = pltpu.roll(z, ROWS - 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < LANES - s, z, zc)
+
+
+def _make_kernel(k: int):
+    def kernel(cands_ref, n_ref, jump_ref, off_ref):
+        n = n_ref[0, 0]
+        gidx = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
+
+        # --- sticky offsets: windowed keep-set composition, 6 levels ---
+        keeps = [cands_ref[j] for j in range(k)]
+        dflt = keeps[0]
+        for lvl in range(6):
+            s = 4 << lvl
+
+            def in_b(x):
+                hit = jnp.zeros((ROWS, LANES), jnp.bool_)
+                for kp in keeps:
+                    hit |= (x == kp) & (x > 0)
+                return hit
+
+            # Window edge: below gidx=s there is no left context — the
+            # composed transfer stays the current one (identity on its own
+            # keeps), matching the XLA formulation bit-for-bit.
+            edge = gidx < s
+            rolled = [_rollf(kp, s) for kp in keeps]
+            rd = _rollf(dflt, s)
+            new_keeps = [jnp.where(edge, kp, jnp.where(in_b(r), r, 0))
+                         for kp, r in zip(keeps, rolled)]
+            dflt = jnp.where(edge, dflt, jnp.where(in_b(rd), rd, dflt))
+            keeps = new_keeps
+        off = dflt
+
+        # --- match lengths: stride-4 links, capped doubling, phase max ---
+        m4 = off > 0
+        link = m4 & _rollb(m4.astype(jnp.int32), 4).astype(jnp.bool_) \
+            & (_rollb(off, 4) == off)
+        r = link.astype(jnp.int32)
+        step = 1
+        for _ in range(4):
+            r = jnp.where(r == step, step + _rollb(r, 4 * step), r)
+            step *= 2
+        mlq = jnp.where(m4, 4 + 4 * jnp.minimum(r, 16), 0)
+        ml = mlq
+        for p in (1, 2, 3):
+            agree = (_rollb(off, p) == off) & \
+                _rollb(m4.astype(jnp.int32), p).astype(jnp.bool_)
+            ml = jnp.maximum(ml, jnp.where(agree, p + _rollb(mlq, p), 0))
+        ml = jnp.where(m4, ml, 0)
+        ml = jnp.minimum(ml, n - gidx)
+
+        # --- profitability filter (window count of other match starts) ---
+        m4i = (ml > 0).astype(jnp.int32)
+        before16 = jnp.zeros((ROWS, LANES), jnp.int32)
+        for t in range(1, 17):
+            before16 += jnp.where(gidx >= t, _rollf(m4i, t), 0)
+        isolated = before16 == 0
+        near = off < 2048
+        keep = ((ml >= 5) | near) & ((ml >= 6) | near | ~isolated)
+        ml = jnp.where(keep, ml, 0)
+
+        # --- suffix propagation: windowed max-plus, 7 levels ---
+        pv = ml + gidx
+        offp = off
+        for lvl in range(7):
+            s = 1 << lvl
+            av = jnp.where(gidx >= s, _rollf(pv, s), -1)
+            ao = _rollf(offp, s)
+            take = av > pv
+            pv = jnp.where(take, av, pv)
+            offp = jnp.where(take, ao, offp)
+        mlp = jnp.minimum(pv - gidx, 68)
+
+        # --- greedy jump rule ---
+        jump_ref[:] = jnp.where(
+            mlp < 4, 1,
+            jnp.where(mlp <= 64, mlp, jnp.where(mlp < 68, 60, 64)))
+        off_ref[:] = offp
+
+    return kernel
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=())
+def matcher_block(cands: jax.Array, n: jax.Array):
+    """cands: (N, K) int32 candidate offsets (nearest first); n: scalar.
+    Returns (jump (N,), off (N,)) — greedy advance and chosen offsets."""
+    k = cands.shape[-1]
+    c3 = jnp.moveaxis(cands, -1, 0).reshape(k, ROWS, LANES)
+    outs = pl.pallas_call(
+        _make_kernel(k),
+        in_specs=[
+            pl.BlockSpec((k, ROWS, LANES), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((ROWS, LANES), lambda: (0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.int32)] * 2,
+        interpret=_interpret(),
+    )(c3, jnp.reshape(n, (1, 1)).astype(jnp.int32))
+    return outs[0].reshape(N), outs[1].reshape(N)
