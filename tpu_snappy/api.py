@@ -61,11 +61,18 @@ def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     out, ok = ops_decode.decode_fragments(frags, fstarts, fulens, cfg)
     ok = np.asarray(ok)
     if not ok.all():
-        bad = np.nonzero(~ok)[0]
-        raise ValueError(
-            f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
-            f"{len(ok)} failed validation (bad offsets, truncated chain, or "
-            f"length mismatch)")
+        # Either corrupt, or valid-but-exotic (e.g. copies reaching across
+        # the 64 KB fragment boundary, which no known encoder emits but the
+        # format permits). The sequential decoder settles it: it decodes the
+        # exotic case and raises a precise error for the corrupt one.
+        from . import reference_codec
+        try:
+            return reference_codec.decompress(comp)
+        except ValueError as host_err:
+            bad = np.nonzero(~ok)[0]
+            raise ValueError(
+                f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
+                f"{len(ok)} failed validation ({host_err})") from host_err
     out = np.asarray(out)
     parts = []
     for i in range(len(fulens)):

@@ -107,10 +107,16 @@ def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     )
     okv = np.asarray(ok)[:nfrag]
     if not okv.all():
-        bad = np.nonzero(~okv)[0]
-        raise ValueError(
-            f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
-            f"{nfrag} failed validation")
+        # Valid-but-exotic streams (cross-fragment copies) decode on the
+        # sequential host path; corrupt ones raise from there with detail.
+        from .. import reference_codec
+        try:
+            return reference_codec.decompress(comp)
+        except ValueError as host_err:
+            bad = np.nonzero(~okv)[0]
+            raise ValueError(
+                f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
+                f"{nfrag} failed validation ({host_err})") from host_err
     out_np = np.asarray(out)
     result = b"".join(out_np[i, : ulens[i]].tobytes() for i in range(nfrag))
     if len(result) != total:
