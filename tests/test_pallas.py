@@ -94,6 +94,123 @@ def test_ffill_multi_payload():
     assert (np.asarray(o2) == v2[last]).all()
 
 
+def test_place_monotone_windows():
+    from tpu_snappy.ops.pallas import place as P
+    rng = np.random.default_rng(11)
+    m = 8 * 1024
+    # Emission-shaped destinations: monotone, +1/+2 steps, sprinkled inactive.
+    steps = rng.integers(1, 3, m)
+    dest = np.cumsum(steps).astype(np.int32) - 1
+    active = rng.random(m) < 0.8
+    vals = rng.integers(0, 256, m, dtype=np.int32)
+    out_rows = 136  # covers max dest ~16K
+    d = np.where(active, dest, P.SENT).astype(np.int32)
+    y, ovf = P.place_block(jnp.asarray(d), jnp.asarray(vals), out_rows)
+    assert int(ovf) == 0
+    ref = np.zeros(out_rows * 128, np.int32)
+    ref[dest[active]] = vals[active]
+    assert (np.asarray(y) == ref).all()
+
+
+def test_place_window_overflow_detected():
+    from tpu_snappy.ops.pallas import place as P
+    # One tile whose active destinations span far more than the window:
+    # the violating write must be counted (and dropped, not misplaced).
+    m = 1024
+    d = np.full(m, P.SENT, np.int32)
+    d[0], d[1023] = 0, 10000
+    vals = np.full(m, 7, np.int32)
+    y, ovf = P.place_block(jnp.asarray(d), jnp.asarray(vals), 136)
+    assert int(ovf) == 1
+    y = np.asarray(y)
+    assert y[0] == 7 and y[10000] == 0
+
+
+def test_place_encode_lane_equivalence():
+    # The kernel and the reference placement sort must produce the identical
+    # encoded stream on real data (the contract encode_block relies on when
+    # switching paths by platform).
+    from tpu_snappy.ops import encode as E
+    from tpu_snappy import format as fmt
+    from tpu_snappy.utils import corpus
+    datas = [b"The quick brown fox jumps over the lazy dog. " * 300]
+    if corpus.has_reference_corpus():
+        datas.append(corpus.load("fox-in-socks.txt"))
+        datas.append(corpus.load("all-mtg-cards.txt")[:fmt.BLOCK_SIZE])
+    for data in datas:
+        n = min(len(data), fmt.BLOCK_SIZE)
+        buf = np.zeros(fmt.BLOCK_SIZE, np.uint8)
+        buf[:n] = np.frombuffer(data[:n], np.uint8)
+        blocks = jnp.asarray(buf)[None]
+        lens = jnp.full((1,), n, jnp.int32)
+        out_s, tot_s = E.encode_blocks(blocks, lens, placement="sort")
+        out_k, tot_k = E.encode_blocks(blocks, lens, placement="kernel")
+        assert int(tot_s[0]) == int(tot_k[0])
+        assert (np.asarray(out_s) == np.asarray(out_k)).all()
+
+
+def _fixed_point(src):
+    s = src.copy()
+    for _ in range(17):
+        s2 = s[s]
+        if (s2 == s).all():
+            break
+        s = s2
+    return s
+
+
+def test_resolve_chains():
+    from tpu_snappy.ops.pallas import resolve as R
+    rng = np.random.default_rng(21)
+    lit = rng.integers(0, 256, N, dtype=np.int32)
+    # Mixed chain shapes: self-maps, short hops, a deep RLE-style run.
+    src = np.arange(N, dtype=np.int32)
+    copies = rng.choice(np.arange(1, N), 20000, replace=False)
+    src[copies] = np.maximum(copies - rng.integers(1, 64, 20000), 0)  # back hops
+    src[40000:50000] = np.arange(40000, 50000) - 1     # depth-10000 chain
+    y = np.asarray(R.resolve_block(jnp.asarray(lit), jnp.asarray(src)))
+    assert (y == lit[_fixed_point(src)]).all()
+
+
+def test_resolve_identity_and_worstcase():
+    from tpu_snappy.ops.pallas import resolve as R
+    lit = np.arange(N, dtype=np.int32) & 0xFF
+    ident = np.arange(N, dtype=np.int32)
+    y = np.asarray(R.resolve_block(jnp.asarray(lit), jnp.asarray(ident)))
+    assert (y == lit).all()
+    # Full-depth chain: every position points one back (RLE of period 1).
+    chain = np.maximum(ident - 1, 0)
+    y = np.asarray(R.resolve_block(jnp.asarray(lit), jnp.asarray(chain)))
+    assert (y == lit[0]).all()
+
+
+def test_resolve_decode_equivalence():
+    # Kernel vs XLA resolution must produce identical decodes on real
+    # streams, including the RLE-heavy worst case.
+    from tpu_snappy.ops import decode as D
+    from tpu_snappy import reference_codec as ref
+    from tpu_snappy.utils import corpus
+    datas = [b"abcd" * 5000, b"x" * 30000,
+             bytes(np.random.default_rng(5).integers(0, 256, 3000, "u1"))]
+    if corpus.has_reference_corpus():
+        datas.append(corpus.load("repeating-50000.txt"))
+        datas.append(corpus.load("real-50000.txt"))
+    for data in datas:
+        comp = ref.compress(data)
+        import tpu_snappy.format as fmt
+        _, start = fmt.varint_decode(comp)
+        frags, clens, ulens = D.fragment_table(comp, start, len(data))
+        for resolve in ("xla", "kernel"):
+            out, ok = D.decode_fragments_jit(
+                jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
+                resolve=resolve)
+            assert np.asarray(ok).all()
+            got = b"".join(
+                np.asarray(out[i, :ulens[i]]).tobytes()
+                for i in range(len(ulens)))
+            assert got == data
+
+
 def test_ffill_sparse_and_leading():
     from tpu_snappy.ops.pallas import ffill as F
     m = 1024

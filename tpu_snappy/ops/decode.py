@@ -116,8 +116,11 @@ def _elem_fields(c: jax.Array):
     return size, outbytes, is_lit, hdr, length, copy_off
 
 
-def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
+def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
+                    resolve: str = "auto"):
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
+    resolve: copy-chain strategy — "auto" (fused Pallas kernel on TPU, XLA
+    doubling elsewhere), "kernel", or "xla"; identical results.
     Returns (out (65536,) uint8, ok bool)."""
     m = c.shape[-1]
     iota = jnp.arange(m, dtype=jnp.int32)
@@ -161,29 +164,39 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array):
     src = jnp.where(lit_f, oiota, oiota - off_f)
     src = jnp.clip(src, 0, OUT - 1)
 
-    # Pointer doubling with early exit: depth <= 65536 needs at most 16
-    # rounds, but typical streams converge in 2-5 (deep chains only arise
-    # from heavy RLE), and each round is a full 64K gather — stop as soon as
-    # the mapping is idempotent.
-    def _cond(c):
-        s, it, done = c
-        return (it < 16) & ~done
+    # Pointer doubling to the fixed point (depth <= 65536 => <= 16 rounds;
+    # chains always terminate: copy sources are strictly behind). On TPU the
+    # fused resolve kernel keeps the map VMEM-resident across rounds, skips
+    # tiles that reached their fixed points, and gathers the output bytes in
+    # the same kernel; the XLA path dispatches one gather per round with an
+    # idempotence early exit.
+    use_kernel = (resolve == "kernel" or (resolve == "auto" and _on_tpu()))
+    if use_kernel:
+        from .pallas import resolve as pallas_resolve
+        out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)
+    else:
+        def _cond(c):
+            s, it, done = c
+            return (it < 16) & ~done
 
-    def _body(c):
-        s, it, _ = c
-        s2 = _gather_out(s, s)
-        return s2, it + 1, jnp.all(s2 == s)
+        def _body(c):
+            s, it, _ = c
+            s2 = _gather_out(s, s)
+            return s2, it + 1, jnp.all(s2 == s)
 
-    src, _, _ = jax.lax.while_loop(
-        _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
-    out = _gather_out(lit_out, src).astype(jnp.uint8)
+        src, _, _ = jax.lax.while_loop(
+            _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
+        out = _gather_out(lit_out, src).astype(jnp.uint8)
     out = jnp.where(oiota < ulen, out, 0)
     return out, ok
 
 
-@jax.jit
-def decode_fragments_jit(frags: jax.Array, clens: jax.Array, ulens: jax.Array):
-    return jax.vmap(decode_fragment)(frags, clens, ulens)
+@functools.partial(jax.jit, static_argnames=("resolve",))
+def decode_fragments_jit(frags: jax.Array, clens: jax.Array,
+                         ulens: jax.Array, resolve: str = "auto"):
+    return jax.vmap(
+        lambda c, cl, ul: decode_fragment(c, cl, ul, resolve)
+    )(frags, clens, ulens)
 
 
 def fragment_table(comp: bytes, start: int, total: int):

@@ -230,10 +230,13 @@ def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array):
 
 
 def encode_block(block: jax.Array, n: jax.Array,
-                 cfg: CodecConfig = DEFAULT_CONFIG):
+                 cfg: CodecConfig = DEFAULT_CONFIG,
+                 placement: str = "auto"):
     """Encode one 64 KB block.
 
     block: (65536,) uint8 (zero-padded past n); n: scalar int32.
+    placement: byte-placement strategy — "auto" (Pallas kernel on TPU, sort
+    elsewhere), "kernel", or "sort"; both produce the identical stream.
     Returns (out, out_len): out is (block_capacity,) uint8 of raw Snappy
     elements (no stream preamble), valid up to out_len.
     """
@@ -286,9 +289,11 @@ def encode_block(block: jax.Array, n: jax.Array,
     hdr = jnp.where(is_copy, copy_sz, lit_hdr)
 
     # --- byte placement ---
-    # A scatter costs ~700us/block on TPU; the TPU-native way to place bytes
-    # at computed offsets is a sort by destination: pack (dest << 8 | byte)
-    # and sort — rank j of the result IS output byte j (destinations are
+    # A scatter costs ~700us/block on TPU; two TPU-native placements exist.
+    # Both lanes' destinations are *monotone* in source position, so on TPU
+    # the Pallas windowed one-hot kernel (ops/pallas/place.py) places every
+    # byte directly; the CPU/reference path packs (dest << 8 | byte) and
+    # sorts — rank j of the result IS output byte j (destinations are
     # exactly 0..total-1, each written once). Two lanes suffice: the 2nd/3rd
     # header byte of an element rides the lane of position i+1/i+2, which
     # never starts an element nor carries a literal payload byte (elements
@@ -312,23 +317,33 @@ def encode_block(block: jax.Array, n: jax.Array,
     basef = scan.ffill(lit_start, base)
     lane_b_dst = basef + iota
 
-    inactive = jnp.uint32(0xFFFFFFFF)
-    pack_a = jnp.where(
-        lane_a_on,
-        (lane_a_dst.astype(jnp.uint32) << 8) | (lane_a_val.astype(jnp.uint32) & 0xFF),
-        inactive)
-    pack_b = jnp.where(
-        is_lit,
-        (lane_b_dst.astype(jnp.uint32) << 8) | block.astype(jnp.uint32),
-        inactive)
-    placed = jnp.sort(jnp.concatenate([pack_a, pack_b], axis=-1), axis=-1)
-    out = (placed & 0xFF).astype(jnp.uint8)[..., :cap]
+    from .pallas import place as pallas_place
+    sent = jnp.int32(pallas_place.SENT)
+    dest = jnp.concatenate([
+        jnp.where(lane_a_on, lane_a_dst, sent),
+        jnp.where(is_lit, lane_b_dst, sent)], axis=-1)
+    vals = jnp.concatenate([lane_a_val & 0xFF, block.astype(jnp.int32)],
+                           axis=-1)
+    use_kernel = (placement == "kernel" or
+                  (placement == "auto" and
+                   jax.devices()[0].platform == "tpu"))
+    if use_kernel:
+        # Unwritten accumulator cells are already 0 past `total`.
+        placed, _ovf = pallas_place.place_block(dest, vals, cap // 128)
+        out = placed.astype(jnp.uint8)
+    else:
+        pack = (dest.astype(jnp.uint32) << 8) | vals.astype(jnp.uint32)
+        out = (jnp.sort(pack, axis=-1) & 0xFF).astype(jnp.uint8)[..., :cap]
+        # Zero the tail (sentinel low bytes) to match the kernel path exactly.
+        out = jnp.where(jnp.arange(cap) < total, out, 0)
     return out, total
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "placement"))
 def encode_blocks(blocks: jax.Array, lengths: jax.Array,
-                  cfg: CodecConfig = DEFAULT_CONFIG):
+                  cfg: CodecConfig = DEFAULT_CONFIG,
+                  placement: str = "auto"):
     """Batched block encode: blocks (B, 65536) uint8, lengths (B,) int32.
     Returns (out (B, capacity) uint8, out_lens (B,) int32)."""
-    return jax.vmap(lambda b, n: encode_block(b, n, cfg))(blocks, lengths)
+    return jax.vmap(
+        lambda b, n: encode_block(b, n, cfg, placement))(blocks, lengths)

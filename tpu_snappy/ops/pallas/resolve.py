@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused copy-chain resolution (decode RESOLVE stage).
+
+Replaces the decoder's per-round sequence of [gather dispatch, idempotence
+check, final byte gather] (decode.py RESOLVE) with ONE kernel that keeps the
+pointer map s in VMEM across rounds:
+
+  * pointer doubling s <- s o s runs as an in-kernel while loop — no HBM
+    round trips or kernel dispatches between rounds;
+  * a tile whose 1024 targets are all fixed points (s[p] == p targets) can
+    never change again — fixed points of a chain map stay fixed — so later
+    rounds skip its one-hot/matmul work entirely. Typical text streams
+    resolve ~95% of tiles in round 1, making rounds 2+ nearly free where the
+    dispatched version re-gathered all 64K positions every round;
+  * the final out[p] = lit[s[p]] byte gather reuses the resident s in the
+    same kernel (single 8-bit limb: bytes are bf16-exact).
+
+Gather mechanics per tile are those of gather.py (MXU one-hot decomposition,
+8-bit limbs — see there for the bf16 rounding rule). In-place tile updates
+within a round are fine either way, but this kernel snapshots limbs per
+round, i.e. computes the classical synchronous s o s.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 1 << 16
+HI = 512
+LO = 128
+TR, TC = 8, 128          # targets per tile
+TILES = N // (TR * TC)   # 64
+MAX_ROUNDS = 16          # chain depth <= 65536 = 2^16
+
+
+def _tile_gather(idx, vh, vl):
+    """y[t] = (vh<<8|vl)[idx[t]] for one (TR, TC) tile of targets; vh/vl are
+    (HI, LO) f32 8-bit limb matrices of the 64K-value array."""
+    lo = idx & (LO - 1)
+    hi = idx >> 7
+    lo_oh = (lo[:, :, None] ==
+             jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
+             ).astype(jnp.float32)
+    hi_oh = (hi[:, :, None] ==
+             jax.lax.broadcasted_iota(jnp.int32, (TR, TC, HI), 2)
+             ).astype(jnp.float32)
+
+    def limb(v):
+        w = jax.lax.dot_general(
+            lo_oh, v,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TR, TC, HI)
+        return jnp.sum(w * hi_oh, axis=2)
+
+    return (limb(vh).astype(jnp.int32) << 8) | limb(vl).astype(jnp.int32)
+
+
+def _resolve_kernel(lit_ref, src_ref, out_ref,
+                    s_ref, vh_ref, vl_ref, stable_ref):
+    s_ref[:] = src_ref[:]
+
+    def zero(t, _):
+        stable_ref[t] = 0
+        return 0
+
+    jax.lax.fori_loop(0, TILES, zero, 0)
+
+    def cond(c):
+        r, changed = c
+        return changed & (r < MAX_ROUNDS)
+
+    def round_body(c):
+        r, _ = c
+        # Per-round limb snapshot of s (synchronous doubling).
+        vh_ref[:] = (s_ref[:] >> 8).astype(jnp.float32)
+        vl_ref[:] = (s_ref[:] & 0xFF).astype(jnp.float32)
+
+        def tile(t, changed):
+            def live():
+                idx = s_ref[pl.ds(t * TR, TR), :]
+                s2 = _tile_gather(idx, vh_ref[:], vl_ref[:])
+                s_ref[pl.ds(t * TR, TR), :] = s2
+                moved = jnp.any(s2 != idx)
+                stable_ref[t] = jnp.where(moved, 0, 1)
+                return moved
+
+            moved = jax.lax.cond(stable_ref[t] == 1,
+                                 lambda: jnp.bool_(False), live)
+            return changed | moved
+
+        changed = jax.lax.fori_loop(0, TILES, tile, jnp.bool_(False))
+        return r + 1, changed
+
+    jax.lax.while_loop(cond, round_body, (jnp.int32(0), jnp.bool_(True)))
+
+    # Final byte gather out[p] = lit[s[p]]: single limb, lit bytes < 256.
+    vl_ref[:] = lit_ref[:].astype(jnp.float32)
+    vh_ref[:] = jnp.zeros_like(vh_ref)
+
+    def emit(t, _):
+        idx = s_ref[pl.ds(t * TR, TR), :]
+        out_ref[pl.ds(t * TR, TR), :] = _tile_gather(idx, vh_ref[:], vl_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, TILES, emit, 0)
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+@jax.jit
+def resolve_block(lit: jax.Array, src: jax.Array) -> jax.Array:
+    """out[p] = lit[fix(src)[p]] where fix is src iterated to its fixed
+    point (pointer doubling, <= 16 rounds). lit: (65536,) int32 byte values
+    < 256; src: (65536,) int32 in [0, 65536). Every chain must terminate
+    (src eventually self-mapping), which decode's offset-validity checks
+    guarantee. Returns (65536,) int32 bytes."""
+    out = pl.pallas_call(
+        _resolve_kernel,
+        in_specs=[
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((HI, LO), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((HI, LO), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((HI, LO), jnp.int32),
+            pltpu.VMEM((HI, LO), jnp.float32),
+            pltpu.VMEM((HI, LO), jnp.float32),
+            pltpu.SMEM((TILES,), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(lit.reshape(HI, LO), src.reshape(HI, LO))
+    return out.reshape(N)
