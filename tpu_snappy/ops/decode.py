@@ -165,12 +165,12 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     src = jnp.clip(src, 0, OUT - 1)
 
     # Pointer doubling to the fixed point (depth <= 65536 => <= 16 rounds;
-    # chains always terminate: copy sources are strictly behind). On TPU the
-    # fused resolve kernel keeps the map VMEM-resident across rounds, skips
-    # tiles that reached their fixed points, and gathers the output bytes in
-    # the same kernel; the XLA path dispatches one gather per round with an
-    # idempotence early exit.
-    use_kernel = (resolve == "kernel" or (resolve == "auto" and _on_tpu()))
+    # chains always terminate: copy sources are strictly behind). Measured on
+    # v5e: per-round dispatched Pallas gathers with an idempotence early exit
+    # beat the fully-fused single-kernel variant (1.82 vs 2.30 ms/block —
+    # the mega-kernel's serial tile loop forfeits Mosaic's grid pipelining),
+    # so "auto" uses the dispatched form; the fused kernel stays selectable.
+    use_kernel = resolve == "kernel"
     if use_kernel:
         from .pallas import resolve as pallas_resolve
         out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)

@@ -34,19 +34,23 @@ def _gather_kernel(xh_ref, xl_ref, idx_ref, out_ref):
     lo = idx & (LO - 1)
     hi = idx >> 7
 
-    lo_oh = (lo[:, :, None] ==
-             jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
-             ).astype(jnp.float32)
+    # Row gather on the MXU (contract the 512-wide one-hot against the value
+    # matrix), then a 128-way lane select on the VPU. The transposed variant
+    # (contract LO on the MXU, masked-sum the (TR, TC, HI) intermediate on
+    # the VPU) needs ~2.6M VPU ops/tile vs ~1.3M here.
     hi_oh = (hi[:, :, None] ==
              jax.lax.broadcasted_iota(jnp.int32, (TR, TC, HI), 2)
              ).astype(jnp.float32)
+    lo_oh = (lo[:, :, None] ==
+             jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
+             ).astype(jnp.float32)
 
     def limb(x_ref):
-        w = jax.lax.dot_general(
-            lo_oh, x_ref[:],
-            dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TR, TC, HI)
-        return jnp.sum(w * hi_oh, axis=2)
+        z = jax.lax.dot_general(
+            hi_oh, x_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TR, TC, LO): rows at idx
+        return jnp.sum(z * lo_oh, axis=2)
 
     out_ref[:] = (limb(xh_ref).astype(jnp.int32) << 8) | \
         limb(xl_ref).astype(jnp.int32)

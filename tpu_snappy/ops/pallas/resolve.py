@@ -40,19 +40,20 @@ def _tile_gather(idx, vh, vl):
     (HI, LO) f32 8-bit limb matrices of the 64K-value array."""
     lo = idx & (LO - 1)
     hi = idx >> 7
-    lo_oh = (lo[:, :, None] ==
-             jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
-             ).astype(jnp.float32)
+    # MXU row-gather + VPU lane select (see gather.py for the op-count math).
     hi_oh = (hi[:, :, None] ==
              jax.lax.broadcasted_iota(jnp.int32, (TR, TC, HI), 2)
              ).astype(jnp.float32)
+    lo_oh = (lo[:, :, None] ==
+             jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
+             ).astype(jnp.float32)
 
     def limb(v):
-        w = jax.lax.dot_general(
-            lo_oh, v,
-            dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TR, TC, HI)
-        return jnp.sum(w * hi_oh, axis=2)
+        z = jax.lax.dot_general(
+            hi_oh, v,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TR, TC, LO)
+        return jnp.sum(z * lo_oh, axis=2)
 
     return (limb(vh).astype(jnp.int32) << 8) | limb(vl).astype(jnp.int32)
 
