@@ -45,12 +45,12 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _gather_out(x: jax.Array, idx: jax.Array) -> jax.Array:
+def _gather_out(x: jax.Array, idx: jax.Array, limbs: int = 2) -> jax.Array:
     """64K-domain dynamic gather: MXU one-hot kernel on TPU (2.3x XLA's
-    scalar gather path), plain indexing elsewhere. Values must fit 16 bits
-    (output positions and bytes do)."""
+    scalar gather path), plain indexing elsewhere. Values must fit 8*limbs
+    bits (output positions need 2 limbs, bytes only 1)."""
     if _on_tpu():
-        return pallas_gather.gather_block(x, idx)
+        return pallas_gather.gather_block(x, idx, limbs)
     return x[idx]
 
 
@@ -186,7 +186,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
 
         src, _, _ = jax.lax.while_loop(
             _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
-        out = _gather_out(lit_out, src).astype(jnp.uint8)
+        out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
     out = jnp.where(oiota < ulen, out, 0)
     return out, ok
 

@@ -60,12 +60,16 @@ def _windows_u32(block: jax.Array) -> jax.Array:
 
 
 def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
-    """K nearest previous positions with an identical 4-byte window, as
-    offsets (0 = no candidate), nearest first. Sort-based rank-space matcher:
-    after sorting (window, position) pairs, the k-th previous occurrence of
-    any window is exactly k rows up, with equality proven by key equality —
-    denser and collision-free vs. any SRAM hash table (HashTable.scala keeps
-    one 512-entry column and loses every collision)."""
+    """Previous positions with an identical 4-byte window, as offsets
+    (0 = no candidate). Sort-based rank-space matcher: after sorting
+    (window, position) pairs, the k-th previous occurrence of any window is
+    exactly k rows up, with equality proven by key equality — denser and
+    collision-free vs. any SRAM hash table (HashTable.scala keeps one
+    512-entry column and loses every collision).
+
+    Returns (cands (N, k-1) nearest-first, flat (N,)): flat is the
+    chain-flattening candidate (oldest occurrence, tag-class preserving),
+    also window-verified by the sort."""
     valid = iota <= n - 4
     key = jnp.where(valid, w, jnp.uint32(0xFFFFFFFF))
     w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
@@ -78,23 +82,67 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
         same = (w_s == prev_w) & (rank >= shift) & (prev_pos <= n - 4) & (pos_s <= n - 4)
         offs.append(jnp.where(same, pos_s - prev_pos, 0))
 
+    # Chain-flattening candidate, computed IN RANK SPACE so it rides the
+    # restore sort in the payload slot of the dropped 16th-nearest offset
+    # (payload count unchanged). The choice: the oldest occurrence of this
+    # window that preserves the nearest candidate's tag class — globally
+    # oldest (the run head; positions within a run are ascending) when in
+    # class, else the oldest of the K nearest. See _flat_default for why.
+    run_start = (w_s != jnp.roll(w_s, 1, axis=-1)) | (rank == 0)
+    first_pos = scan.ffill(run_start, pos_s)
+    first = jnp.where((w_s != jnp.uint32(0xFFFFFFFF)) & (first_pos < pos_s),
+                      pos_s - first_pos, 0)
+    c0 = offs[0]
+    in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0) for o in offs]
+    m1 = functools.reduce(jnp.maximum, in1)
+    m2 = functools.reduce(jnp.maximum, offs)
+    f1 = (first > 0) & (first < fmt.COPY1_MAX_OFFSET)
+    flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
+                     jnp.where(f1, first, m1),
+                     jnp.where(first > 0, first, m2))
+
     # Back to position space. A scatter would cost ~700us/block on TPU; the
     # TPU-native permutation scatter is a second sort keyed by position,
     # with offsets (16-bit by construction) packed in pairs to halve the
     # payload operands.
+    offs = offs[:k - 1] + [flat]
     packed = [
-        (offs[2 * j].astype(jnp.uint32)
-         | (offs[2 * j + 1].astype(jnp.uint32) << 16) if 2 * j + 1 < k
-         else offs[2 * j].astype(jnp.uint32))
-        for j in range((k + 1) // 2)
+        offs[2 * j].astype(jnp.uint32)
+        | (offs[2 * j + 1].astype(jnp.uint32) << 16)
+        for j in range(k // 2)
     ]
     back = jax.lax.sort((pos_s, *packed), num_keys=1)[1:]
     out = []
     for j, p in enumerate(back):
         out.append((p & 0xFFFF).astype(jnp.int32))
-        if 2 * j + 1 < k:
-            out.append((p >> 16).astype(jnp.int32))
-    return jnp.stack(out, axis=-1)  # (N, K)
+        out.append((p >> 16).astype(jnp.int32))
+    cands = jnp.stack(out[:k - 1], axis=-1)  # (N, K-1) nearest-first
+    return cands, out[k - 1]  # flat offsets (N,)
+
+
+def _flat_gate(flat: jax.Array, c0: jax.Array) -> jax.Array:
+    """Chain-flattening default choice (decode co-design).
+
+    Naive nearest-candidate defaults make every repeat reference its
+    *previous* occurrence, producing copy chains thousands of elements deep
+    in natural text; the decoder's pointer doubling then needs ~log2(depth)
+    full-block gather rounds. Referencing the OLDEST occurrence (`flat`,
+    from _candidate_offsets — tag-class preserving by construction)
+    collapses those chains at identical match length for genuine repeats,
+    and measurably *improves* ratio on text (older verified matches extend
+    at least as well). Ratio sweep of gates (mtg / repeating / real):
+
+      * take flat only where it proves an 8-byte extension (the same flat
+        offset at i+4 => bytes [i, i+8) match) — rejects periodic data,
+        whose rotated windows first-occur at different distances and would
+        break stride-4 chains (4x ratio loss on repeating-*);
+      * keep the nearest when it is overlap-capable (c0 <= 68, RLE
+        semantics can extend past any literal agreement) UNLESS the near
+        chain itself breaks at stride 4 (no 8-byte extension => no RLE).
+    """
+    agree = (jnp.roll(flat, -4, axis=-1) == flat) & (flat > 0)
+    agree_near = (jnp.roll(c0, -4, axis=-1) == c0) & (c0 > 0)
+    return jnp.where(agree & ((c0 > 68) | ~agree_near), flat, c0)
 
 
 def _sticky_offsets(cands: jax.Array) -> jax.Array:
@@ -245,7 +293,12 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     w = _windows_u32(block)
-    cands = _candidate_offsets(w, n, iota, cfg.candidates)
+    cands, flat = _candidate_offsets(w, n, iota, cfg.candidates)
+    # Column 0 drives the sticky default; chain continuation only needs set
+    # membership, so the flattening choice takes the slot of the dropped
+    # 16th-nearest candidate rather than growing K.
+    pref = _flat_gate(flat, cands[..., 0])
+    cands = jnp.concatenate([pref[..., None], cands], axis=-1)
     if jax.devices()[0].platform == "tpu":
         # Fused VMEM-resident kernel (bit-identical to the XLA path below).
         from .pallas import matcher as pallas_matcher
