@@ -211,6 +211,39 @@ def test_resolve_decode_equivalence():
             assert got == data
 
 
+def test_doubling_round_with_stability():
+    from tpu_snappy.ops.pallas import doubling as DB
+    rng = np.random.default_rng(31)
+    src = np.arange(N, dtype=np.int32)
+    copies = rng.choice(np.arange(1, N), 30000, replace=False)
+    src[copies] = np.maximum(copies - rng.integers(1, 5000, 30000), 0)
+    src[60000:63000] = np.arange(60000, 63000) - 1  # deep chain
+    s = jnp.asarray(src)
+    st = jnp.zeros(DB.TILES, jnp.int32)
+    golden = src.copy()
+    for r in range(17):
+        s, st = DB.doubling_round(s, st)
+        golden = golden[golden]
+        sn = np.asarray(s)
+        # stable tiles must be truly fixed (s[p] are fixed points)
+        stn = np.asarray(st).astype(bool)
+        tiles = sn.reshape(DB.TILES, 1024)
+        fixed = (sn[tiles] == tiles).all(axis=1)
+        assert (fixed[stn]).all()
+        if stn.all():
+            break
+    assert (np.asarray(s) == golden).all() or (
+        np.asarray(s)[np.asarray(s)] == np.asarray(s)).all()
+    # converged to the same fixed point as plain doubling
+    g = src.copy()
+    for _ in range(17):
+        g2 = g[g]
+        if (g2 == g).all():
+            break
+        g = g2
+    assert (np.asarray(s) == g).all()
+
+
 def test_ffill_sparse_and_leading():
     from tpu_snappy.ops.pallas import ffill as F
     m = 1024

@@ -165,15 +165,34 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     src = jnp.clip(src, 0, OUT - 1)
 
     # Pointer doubling to the fixed point (depth <= 65536 => <= 16 rounds;
-    # chains always terminate: copy sources are strictly behind). Measured on
-    # v5e: per-round dispatched Pallas gathers with an idempotence early exit
-    # beat the fully-fused single-kernel variant (1.82 vs 2.30 ms/block —
-    # the mega-kernel's serial tile loop forfeits Mosaic's grid pipelining),
-    # so "auto" uses the dispatched form; the fused kernel stays selectable.
-    use_kernel = resolve == "kernel"
-    if use_kernel:
+    # chains always terminate: copy sources are strictly behind). Measured
+    # on v5e, the plain dispatched per-round gather with idempotence early
+    # exit beats both fusion attempts: the single mega-kernel ("kernel",
+    # 2.30 vs 1.82 ms/block — serial in-kernel tile loop forfeits Mosaic
+    # grid pipelining) and per-tile stability skipping ("stable", 2.17 vs
+    # 1.70 — unresolved positions are scattered, so tiles rarely go fully
+    # stable and the flags are pure overhead). Both remain selectable and
+    # tested. The effective lever was ENCODE-side chain flattening
+    # (encode._flat_gate), which cut the rounds themselves.
+    if resolve == "kernel":
         from .pallas import resolve as pallas_resolve
         out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)
+    elif resolve == "stable" and _on_tpu():
+        from .pallas import doubling
+
+        def _cond(c):
+            s, st, it = c
+            return (it < 16) & ~jnp.all(st == 1)
+
+        def _body(c):
+            s, st, it = c
+            s2, st2 = doubling.doubling_round(s, st)
+            return s2, st2, it + 1
+
+        src, _, _ = jax.lax.while_loop(
+            _cond, _body,
+            (src, jnp.zeros(doubling.TILES, jnp.int32), jnp.int32(0)))
+        out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
     else:
         def _cond(c):
             s, it, done = c

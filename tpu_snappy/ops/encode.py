@@ -67,9 +67,9 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
     collision-free vs. any SRAM hash table (HashTable.scala keeps one
     512-entry column and loses every collision).
 
-    Returns (cands (N, k-1) nearest-first, flat (N,)): flat is the
-    chain-flattening candidate (oldest occurrence, tag-class preserving),
-    also window-verified by the sort."""
+    Returns the (N, k) sticky-candidate table: column 0 is the gated
+    chain-flattening choice (_flat_gate), columns 1..k-1 the k-1 nearest
+    occurrences; every entry is window-verified by the sort."""
     valid = iota <= n - 4
     key = jnp.where(valid, w, jnp.uint32(0xFFFFFFFF))
     w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
@@ -96,6 +96,11 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
     in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0) for o in offs]
     m1 = functools.reduce(jnp.maximum, in1)
     m2 = functools.reduce(jnp.maximum, offs)
+    # (Probing run-relative ranks 32..512 for older in-class occurrences was
+    # tried and changed nothing: cross-window probe offsets rarely agree at
+    # stride 4, so the _flat_gate rejects them. Measured chain depth on mtg
+    # is ~65 with ~2 KB hops — near the class-preserving floor of
+    # 64K / 2KB = 32 — so further flattening would have to trade tag bytes.)
     f1 = (first > 0) & (first < fmt.COPY1_MAX_OFFSET)
     flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
                      jnp.where(f1, first, m1),
@@ -116,8 +121,12 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
     for j, p in enumerate(back):
         out.append((p & 0xFFFF).astype(jnp.int32))
         out.append((p >> 16).astype(jnp.int32))
-    cands = jnp.stack(out[:k - 1], axis=-1)  # (N, K-1) nearest-first
-    return cands, out[k - 1]  # flat offsets (N,)
+    # Column 0 drives the sticky default (the gated flat choice); chain
+    # continuation only needs set membership, so flat takes the slot of the
+    # dropped 16th-nearest candidate rather than growing K. Built in one
+    # stack — no post-hoc concat rebuild of the (N, K) table.
+    pref = _flat_gate(out[k - 1], out[0])
+    return jnp.stack([pref] + out[:k - 1], axis=-1)  # (N, K)
 
 
 def _flat_gate(flat: jax.Array, c0: jax.Array) -> jax.Array:
@@ -293,12 +302,7 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     w = _windows_u32(block)
-    cands, flat = _candidate_offsets(w, n, iota, cfg.candidates)
-    # Column 0 drives the sticky default; chain continuation only needs set
-    # membership, so the flattening choice takes the slot of the dropped
-    # 16th-nearest candidate rather than growing K.
-    pref = _flat_gate(flat, cands[..., 0])
-    cands = jnp.concatenate([pref[..., None], cands], axis=-1)
+    cands = _candidate_offsets(w, n, iota, cfg.candidates)
     if jax.devices()[0].platform == "tpu":
         # Fused VMEM-resident kernel (bit-identical to the XLA path below).
         from .pallas import matcher as pallas_matcher
