@@ -59,7 +59,8 @@ def _windows_u32(block: jax.Array) -> jax.Array:
             | jnp.roll(b, -3, axis=-1) << 24)
 
 
-def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
+def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int,
+                       flatten: bool = True):
     """Previous positions with an identical 4-byte window, as offsets
     (0 = no candidate). Sort-based rank-space matcher: after sorting
     (window, position) pairs, the k-th previous occurrence of any window is
@@ -82,35 +83,40 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
         same = (w_s == prev_w) & (rank >= shift) & (prev_pos <= n - 4) & (pos_s <= n - 4)
         offs.append(jnp.where(same, pos_s - prev_pos, 0))
 
-    # Chain-flattening candidate, computed IN RANK SPACE so it rides the
-    # restore sort in the payload slot of the dropped 16th-nearest offset
-    # (payload count unchanged). The choice: the oldest occurrence of this
-    # window that preserves the nearest candidate's tag class — globally
-    # oldest (the run head; positions within a run are ascending) when in
-    # class, else the oldest of the K nearest. See _flat_default for why.
-    run_start = (w_s != jnp.roll(w_s, 1, axis=-1)) | (rank == 0)
-    first_pos = scan.ffill(run_start, pos_s)
-    first = jnp.where((w_s != jnp.uint32(0xFFFFFFFF)) & (first_pos < pos_s),
-                      pos_s - first_pos, 0)
-    c0 = offs[0]
-    in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0) for o in offs]
-    m1 = functools.reduce(jnp.maximum, in1)
-    m2 = functools.reduce(jnp.maximum, offs)
-    # (Probing run-relative ranks 32..512 for older in-class occurrences was
-    # tried and changed nothing: cross-window probe offsets rarely agree at
-    # stride 4, so the _flat_gate rejects them. Measured chain depth on mtg
-    # is ~65 with ~2 KB hops — near the class-preserving floor of
-    # 64K / 2KB = 32 — so further flattening would have to trade tag bytes.)
-    f1 = (first > 0) & (first < fmt.COPY1_MAX_OFFSET)
-    flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
-                     jnp.where(f1, first, m1),
-                     jnp.where(first > 0, first, m2))
+    if flatten:
+        # Chain-flattening candidate, computed IN RANK SPACE so it rides
+        # the restore sort in the payload slot of the dropped 16th-nearest
+        # offset (payload count unchanged). The choice: the oldest
+        # occurrence of this window that preserves the nearest candidate's
+        # tag class — globally oldest (the run head; positions within a run
+        # are ascending) when in class, else the oldest of the K nearest.
+        # See _flat_gate for why.
+        run_start = (w_s != jnp.roll(w_s, 1, axis=-1)) | (rank == 0)
+        first_pos = scan.ffill(run_start, pos_s)
+        first = jnp.where(
+            (w_s != jnp.uint32(0xFFFFFFFF)) & (first_pos < pos_s),
+            pos_s - first_pos, 0)
+        c0 = offs[0]
+        in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0)
+               for o in offs]
+        m1 = functools.reduce(jnp.maximum, in1)
+        m2 = functools.reduce(jnp.maximum, offs)
+        # (Probing run-relative ranks 32..512 for older in-class occurrences
+        # was tried and changed nothing: cross-window probe offsets rarely
+        # agree at stride 4, so the _flat_gate rejects them. Measured chain
+        # depth on mtg is ~65 with ~2 KB hops — near the class-preserving
+        # floor of 64K / 2KB = 32 — so further flattening would have to
+        # trade tag bytes.)
+        f1 = (first > 0) & (first < fmt.COPY1_MAX_OFFSET)
+        flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
+                         jnp.where(f1, first, m1),
+                         jnp.where(first > 0, first, m2))
+        offs = offs[:k - 1] + [flat]
 
     # Back to position space. A scatter would cost ~700us/block on TPU; the
     # TPU-native permutation scatter is a second sort keyed by position,
     # with offsets (16-bit by construction) packed in pairs to halve the
     # payload operands.
-    offs = offs[:k - 1] + [flat]
     packed = [
         offs[2 * j].astype(jnp.uint32)
         | (offs[2 * j + 1].astype(jnp.uint32) << 16)
@@ -121,6 +127,8 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int):
     for j, p in enumerate(back):
         out.append((p & 0xFFFF).astype(jnp.int32))
         out.append((p >> 16).astype(jnp.int32))
+    if not flatten:
+        return jnp.stack(out[:k], axis=-1)  # (N, K) nearest-first
     # Column 0 drives the sticky default (the gated flat choice); chain
     # continuation only needs set membership, so flat takes the slot of the
     # dropped 16th-nearest candidate rather than growing K. Built in one
@@ -302,7 +310,8 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     w = _windows_u32(block)
-    cands = _candidate_offsets(w, n, iota, cfg.candidates)
+    cands = _candidate_offsets(w, n, iota, cfg.candidates,
+                               cfg.flatten_chains)
     if jax.devices()[0].platform == "tpu":
         # Fused VMEM-resident kernel (bit-identical to the XLA path below).
         from .pallas import matcher as pallas_matcher

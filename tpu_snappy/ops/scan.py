@@ -140,6 +140,80 @@ def entry_states_sequential(exit_maps: jax.Array) -> jax.Array:
     return jnp.moveaxis(entries, 0, -1)  # (..., NSEG)
 
 
+#: Segments per group in the two-level entry-state scan. The group-table
+#: domain must equal the group width (G*S) so that any entry state >= the
+#: domain provably skips the whole group (d -> d - G*S); G=4 gives 256-entry
+#: tables and quarters the sequential scan length.
+G = 4
+D = G * S  # 256
+
+
+def _gather_d(maps: jax.Array, idx: jax.Array) -> jax.Array:
+    """y[..., g, t] = maps[..., g, idx[..., g, t]] over a D-wide domain
+    (the D-domain sibling of gather_s; same one-hot-matmul rationale)."""
+    oh = (idx[..., :, :, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2)).astype(jnp.float32)
+    out = jnp.einsum("...ts,...s->...t", oh, maps.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(maps.dtype)
+
+
+def entry_states_grouped(exit_maps: jax.Array) -> jax.Array:
+    """Entry state per segment, two-level: parallel within-group composition
+    (G segments -> one D-domain table) + a sequential lax.scan over groups
+    (NSEG/G steps instead of NSEG — the decode parse's serial bottleneck).
+
+    Equivalent to entry_states_sequential for arbitrary jumps >= 1: a group
+    table h over domain [0, D) answers any entry state < D exactly, and an
+    entry state >= D skips the whole group (width D) arithmetically.
+    """
+    *batch, nseg, _ = exit_maps.shape
+    ngrp = nseg // G
+    local = jnp.arange(D, dtype=jnp.int32)
+
+    # Extend each segment's S-entry table to domain D: entering at d >= S
+    # skips the segment (exit d - S, states are distances past segment end).
+    seg = jnp.where(local < S,
+                    jnp.concatenate(
+                        [exit_maps,
+                         jnp.zeros((*batch, nseg, D - S), jnp.int32)], -1),
+                    local - S)
+    seg = seg.reshape(*batch, ngrp, G, D)
+
+    # Compose left-to-right within each group; keep every prefix table so
+    # per-segment entries fall out of the group entry below. Composing with
+    # a SINGLE segment on the right keeps the pass-through rule exact.
+    prefixes = [seg[..., 0, :]]
+    for j in range(1, G):
+        h = prefixes[-1]
+        nxt = seg[..., j, :]  # (..., ngrp, D); domain lookups are [0, S)
+        thru = _gather_d(nxt, jnp.clip(h, 0, D - 1))
+        prefixes.append(jnp.where(h < S, thru, h - S))
+
+    # Sequential scan over groups with the full-group table.
+    maps = jnp.moveaxis(prefixes[-1], -2, 0)  # (ngrp, ..., D)
+
+    def step(d, m):
+        idx = jnp.clip(d, 0, D - 1)[..., None]
+        thru = jnp.take_along_axis(m, idx, axis=-1)[..., 0]
+        return jnp.where(d >= D, d - D, thru), d
+
+    _, group_entries = jax.lax.scan(
+        step, jnp.zeros(exit_maps.shape[:-2], jnp.int32), maps)
+    ge = jnp.moveaxis(group_entries, 0, -1)  # (..., ngrp)
+
+    # Per-segment entries: the group entry, then each prefix table evaluated
+    # at it (entry of segment j+1 = exit of the first j+1 segments); entries
+    # >= D skip those segments arithmetically.
+    cols = [ge]
+    gidx = jnp.clip(ge, 0, D - 1)[..., None]
+    for j in range(G - 1):
+        thru = jnp.take_along_axis(prefixes[j], gidx, axis=-1)[..., 0]
+        cols.append(jnp.where(ge >= D, ge - (j + 1) * S, thru))
+    entries = jnp.stack(cols, axis=-1)  # (..., ngrp, G)
+    return entries.reshape(*batch, nseg)
+
+
 def committed_from_entries(jump: jax.Array, entry: jax.Array) -> jax.Array:
     """Per-position committed flags from per-segment entry states.
 
@@ -165,6 +239,12 @@ def commit_bounded(jump: jax.Array) -> jax.Array:
 
 
 def commit_general(jump: jax.Array) -> jax.Array:
-    """Committed flags for arbitrary jumps >= 1. Decode tag-parse path."""
+    """Committed flags for arbitrary jumps >= 1. Decode tag-parse path.
+
+    Uses the two-level grouped scan (NSEG/G sequential steps) when the
+    segment count divides by G, else the plain sequential scan.
+    """
     maps = segment_exit_maps(jump)
+    if maps.shape[-2] % G == 0:
+        return committed_from_entries(jump, entry_states_grouped(maps))
     return committed_from_entries(jump, entry_states_sequential(maps))
