@@ -56,3 +56,64 @@ def test_tiny_copy_lengths():
     stream = build(7, [fmt.literal_header(4), b"abcd",
                        bytes([(2 << 2) | 2, 3, 0])])  # copy2 len 3 off 3
     assert api.decompress(stream) == b"abcdbcd"
+
+
+@pytest.mark.parametrize("period,runlen", [
+    (1, 5000),      # pure RLE
+    (3, 4997),      # period not dividing run length
+    (64, 6400),     # period == max copy len (non-overlapping elements, same offset)
+    (61, 6100),     # barely self-overlapping elements
+])
+def test_periodic_runs_parallel_decode(period, runlen):
+    """Maximal same-offset copy runs: the decoder's arithmetic periodic-run
+    collapse must be exact for any period/length, including run tails."""
+    from tpu_snappy import reference_codec
+    head = bytes(range(max(4, period)))[:max(4, period)]
+    nfull, rest = divmod(runlen, 64)
+    els = [fmt.literal_header(len(head)), head]
+    els += [fmt.copy_element(period, 64)] * nfull
+    if rest >= 4:
+        els.append(fmt.copy_element(period, rest))
+    else:
+        runlen -= rest
+    total = len(head) + runlen
+    stream = build(total, els)
+    got = api.decompress(stream)
+    assert got == reference_codec.decompress(stream)
+
+
+def test_same_offset_runs_split_by_literal():
+    # Two same-offset runs with a literal between them: the second run's
+    # head must reset (its periodic base is local, not the first run's).
+    els = [fmt.literal_header(8), b"abcdefgh",
+           fmt.copy_element(4, 16),            # run 1: period 4
+           fmt.literal_header(4), b"WXYZ",
+           fmt.copy_element(4, 16)]            # run 2: same offset, new base
+    stream = build(8 + 16 + 4 + 16, els)
+    from tpu_snappy import reference_codec
+    assert api.decompress(stream) == reference_codec.decompress(stream)
+
+
+def test_offset_change_mid_run():
+    # Adjacent copy elements with DIFFERENT offsets must not be fused into
+    # one periodic run.
+    els = [fmt.literal_header(16), b"0123456789abcdef",
+           fmt.copy_element(3, 9),
+           fmt.copy_element(7, 21),
+           fmt.copy_element(2, 8),
+           fmt.copy_element(2, 64)]
+    stream = build(16 + 9 + 21 + 8 + 64, els)
+    from tpu_snappy import reference_codec
+    assert api.decompress(stream) == reference_codec.decompress(stream)
+
+
+def test_copy_chain_into_periodic_run():
+    # A later copy sources from inside an earlier periodic run: doubling
+    # must resolve through the collapsed run correctly.
+    els = [fmt.literal_header(5), b"hello",
+           fmt.copy_element(5, 60),            # periodic run, period 5
+           fmt.literal_header(4), b"####",
+           fmt.copy_element(40, 24)]           # plain copy into run interior
+    stream = build(5 + 60 + 4 + 24, els)
+    from tpu_snappy import reference_codec
+    assert api.decompress(stream) == reference_codec.decompress(stream)

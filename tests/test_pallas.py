@@ -255,3 +255,32 @@ def test_ffill_sparse_and_leading():
     # before the first mask: original values; after: filled with v[500]
     assert (o[:500] == v[:500]).all()
     assert (o[500:] == 500).all()
+
+
+def test_elem_fields_kernel_matches_xla():
+    """fields.elem_fields_block vs decode._elem_fields on real + adversarial
+    streams (every byte speculatively decoded as a tag, incl. wrap at end)."""
+    from tpu_snappy.ops import decode as D
+    from tpu_snappy.ops.pallas import fields as F
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 256, F.FRAG_CAP, dtype=np.uint8),  # random tags
+        np.zeros(F.FRAG_CAP, np.uint8),                     # all len-1 literals
+        np.full(F.FRAG_CAP, 255, np.uint8),                 # all copy4 max
+    ]
+    # a genuine compressed fragment
+    from tpu_snappy import reference_codec as codec
+    from tpu_snappy.utils import corpus
+    comp = codec.compress(corpus.load("fox-in-socks.txt"))
+    frag = np.zeros(F.FRAG_CAP, np.uint8)
+    body = np.frombuffer(comp, np.uint8)[:F.FRAG_CAP]
+    frag[:len(body)] = body
+    cases.append(frag)
+
+    for c in cases:
+        got = F.elem_fields_block(jnp.asarray(c))
+        size, outb, islit, hdr, _len, off = D._elem_fields(jnp.asarray(c))
+        want = (size, outb, islit.astype(jnp.int32), hdr, off)
+        for g, w in zip(got, want):
+            assert (np.asarray(g) == np.asarray(w)).all()

@@ -35,11 +35,12 @@ def _cases(rng, n):
     yield j
 
 
+@pytest.mark.parametrize("grouped", [False, True])
 @pytest.mark.parametrize("n", [scan.S * scan.G * 17, 68 * 1024])
-def test_commit_general_matches_sequential_chase(n):
+def test_commit_general_matches_sequential_chase(n, grouped):
     rng = np.random.default_rng(n)
     for jump in _cases(rng, n):
-        got = np.asarray(scan.commit_general(jnp.asarray(jump)))
+        got = np.asarray(scan.commit_general(jnp.asarray(jump), grouped))
         assert (got == _golden_committed(jump)).all()
 
 

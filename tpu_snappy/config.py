@@ -46,13 +46,15 @@ class CodecConfig:
     #: TPU-friendly multiple of 1024.
     block_capacity: int = fmt.BLOCK_SIZE + 2048
 
-    #: Prefer the oldest (tag-class-preserving, 8-byte-verified) occurrence
-    #: over the nearest when choosing match offsets. Collapses decode copy
-    #: chains (fewer pointer-doubling rounds) and measurably improves ratio
-    #: on text (full corpus 0.960 vs snappy with, 0.965 without), at ~15%
-    #: encode cost (first-occurrence scan + class fold). See
-    #: encode._flat_gate.
-    flatten_chains: bool = True
+    #: Chain-flattening mode: prefer the oldest 8-byte-verified occurrence
+    #: over the nearest when choosing match offsets, collapsing decode copy
+    #: chains (fewer pointer-doubling rounds). "class" preserves the nearest
+    #: candidate's tag class (measurably improves ratio on text: full corpus
+    #: 0.960 vs snappy with, 0.965 without, at ~15% encode cost); "full"
+    #: always takes the globally-first occurrence, upgrading some copy1 tags
+    #: to copy2 (+1 B each) to buy decoder doubling rounds; "off" disables
+    #: flattening. See encode._flat_gate.
+    flatten: str = "class"
 
     #: Mesh axis name for data-parallel block sharding.
     dp_axis: str = "dp"

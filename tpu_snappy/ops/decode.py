@@ -37,6 +37,7 @@ from .. import format as fmt
 from ..config import CodecConfig, DEFAULT_CONFIG
 from . import scan
 from .pallas import ffill as pallas_ffill
+from .pallas import fields as pallas_fields
 from .pallas import gather as pallas_gather
 from .pallas import scatter as pallas_scatter
 
@@ -117,15 +118,27 @@ def _elem_fields(c: jax.Array):
 
 
 def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
-                    resolve: str = "auto"):
+                    resolve: str = "auto", fields: str = "auto",
+                    collapse_runs: bool = True):
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
-    resolve: copy-chain strategy — "auto" (fused Pallas kernel on TPU, XLA
-    doubling elsewhere), "kernel", or "xla"; identical results.
+    resolve: copy-chain strategy — "auto" (per-round dispatched doubling,
+    measured fastest), "kernel" (fused mega-kernel), "stable", or "xla";
+    identical results. fields: "auto"/"xla" (fused XLA arithmetic) or
+    "kernel" (Pallas; measured slower, kept selectable). collapse_runs:
+    arithmetic periodic-run collapse before doubling (A/B knob).
     Returns (out (65536,) uint8, ok bool)."""
     m = c.shape[-1]
     iota = jnp.arange(m, dtype=jnp.int32)
 
-    size, outbytes, is_lit, hdr, length, off = _elem_fields(c)
+    if fields == "kernel" and m == pallas_fields.FRAG_CAP:
+        # Fused VMEM kernel — bit-identical to the XLA expression, but
+        # measured SLOWER on v5e (0.667 vs 0.288 ms/block): XLA already
+        # fuses the shifted-byte arithmetic well, and the whole-block
+        # grid=1 kernel forfeits pipelining. Kept selectable + tested.
+        size, outbytes, is_lit_i, hdr, off = pallas_fields.elem_fields_block(c)
+        is_lit = is_lit_i == 1
+    else:
+        size, outbytes, is_lit, hdr, _length, off = _elem_fields(c)
 
     # --- PARSE: true tag chain ---
     jump = jnp.clip(size, 1, None)
@@ -161,7 +174,30 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     desc_f = _ffill(o_desc != 0, (o_desc,))[0]
     lit_f = (desc_f & 2) != 0
     off_f = desc_f >> 2
-    src = jnp.where(lit_f, oiota, oiota - off_f)
+
+    # Periodic-run collapse (exact): maximal runs of contiguous copy
+    # elements sharing one offset satisfy out[j] = out[j - off] throughout,
+    # so any byte whose plain source falls INSIDE its own run resolves
+    # arithmetically to the pre-run base region [run_start - off, run_start)
+    # — no pointer-doubling needed. This removes the RLE worst case the
+    # format's overlap semantics create (repeating-50000: 16 doubling
+    # rounds -> 0, measured; cross-window reference chains on text are
+    # unaffected and still take ~6 rounds).
+    src_plain = oiota - off_f
+    if collapse_runs:
+        is_start = o_desc != 0
+        off_prev = jnp.roll(off_f, 1, axis=-1)
+        lit_prev = jnp.roll(lit_f, 1, axis=-1)
+        run_head = is_start & ~lit_f & (
+            lit_prev | (off_prev != off_f) | (oiota == 0))
+        rs_f = _ffill(run_head, (oiota,))[0]
+        base = rs_f - off_f
+        offc = jnp.maximum(off_f, 1)
+        src_mod = (oiota - base) % offc + base
+        src = jnp.where(lit_f, oiota,
+                        jnp.where(src_plain >= rs_f, src_mod, src_plain))
+    else:
+        src = jnp.where(lit_f, oiota, src_plain)
     src = jnp.clip(src, 0, OUT - 1)
 
     # Pointer doubling to the fixed point (depth <= 65536 => <= 16 rounds;
@@ -210,11 +246,14 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     return out, ok
 
 
-@functools.partial(jax.jit, static_argnames=("resolve",))
+@functools.partial(jax.jit,
+                   static_argnames=("resolve", "fields", "collapse_runs"))
 def decode_fragments_jit(frags: jax.Array, clens: jax.Array,
-                         ulens: jax.Array, resolve: str = "auto"):
+                         ulens: jax.Array, resolve: str = "auto",
+                         fields: str = "auto", collapse_runs: bool = True):
     return jax.vmap(
-        lambda c, cl, ul: decode_fragment(c, cl, ul, resolve)
+        lambda c, cl, ul: decode_fragment(c, cl, ul, resolve, fields,
+                                          collapse_runs)
     )(frags, clens, ulens)
 
 

@@ -60,7 +60,7 @@ def _windows_u32(block: jax.Array) -> jax.Array:
 
 
 def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int,
-                       flatten: bool = True):
+                       flatten: str = "class"):
     """Previous positions with an identical 4-byte window, as offsets
     (0 = no candidate). Sort-based rank-space matcher: after sorting
     (window, position) pairs, the k-th previous occurrence of any window is
@@ -83,34 +83,39 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         same = (w_s == prev_w) & (rank >= shift) & (prev_pos <= n - 4) & (pos_s <= n - 4)
         offs.append(jnp.where(same, pos_s - prev_pos, 0))
 
-    if flatten:
+    if flatten != "off":
         # Chain-flattening candidate, computed IN RANK SPACE so it rides
         # the restore sort in the payload slot of the dropped 16th-nearest
-        # offset (payload count unchanged). The choice: the oldest
-        # occurrence of this window that preserves the nearest candidate's
-        # tag class — globally oldest (the run head; positions within a run
-        # are ascending) when in class, else the oldest of the K nearest.
-        # See _flat_gate for why.
+        # offset (payload count unchanged). "full": always the globally
+        # oldest occurrence (the run head; positions within a run are
+        # ascending) — minimal decode chain depth, some copy1 tags upgrade
+        # to copy2. "class": the oldest occurrence that preserves the
+        # nearest candidate's tag class — globally oldest when in class,
+        # else the oldest of the K nearest. See _flat_gate for the commit
+        # gate both modes share.
         run_start = (w_s != jnp.roll(w_s, 1, axis=-1)) | (rank == 0)
         first_pos = scan.ffill(run_start, pos_s)
         first = jnp.where(
             (w_s != jnp.uint32(0xFFFFFFFF)) & (first_pos < pos_s),
             pos_s - first_pos, 0)
-        c0 = offs[0]
-        in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0)
-               for o in offs]
-        m1 = functools.reduce(jnp.maximum, in1)
-        m2 = functools.reduce(jnp.maximum, offs)
-        # (Probing run-relative ranks 32..512 for older in-class occurrences
-        # was tried and changed nothing: cross-window probe offsets rarely
-        # agree at stride 4, so the _flat_gate rejects them. Measured chain
-        # depth on mtg is ~65 with ~2 KB hops — near the class-preserving
-        # floor of 64K / 2KB = 32 — so further flattening would have to
-        # trade tag bytes.)
-        f1 = (first > 0) & (first < fmt.COPY1_MAX_OFFSET)
-        flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
-                         jnp.where(f1, first, m1),
-                         jnp.where(first > 0, first, m2))
+        if flatten == "full":
+            flat = first
+        else:
+            c0 = offs[0]
+            in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0)
+                   for o in offs]
+            m1 = functools.reduce(jnp.maximum, in1)
+            m2 = functools.reduce(jnp.maximum, offs)
+            # (Probing run-relative ranks 32..512 for older in-class
+            # occurrences was tried and changed nothing: cross-window probe
+            # offsets rarely agree at stride 4, so the _flat_gate rejects
+            # them. Measured chain depth on mtg is ~65 with ~2 KB hops —
+            # near the class-preserving floor of 64K / 2KB = 32 — going
+            # deeper is what flatten="full" trades tag bytes for.)
+            f1 = (first > 0) & (first < fmt.COPY1_MAX_OFFSET)
+            flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
+                             jnp.where(f1, first, m1),
+                             jnp.where(first > 0, first, m2))
         offs = offs[:k - 1] + [flat]
 
     # Back to position space. A scatter would cost ~700us/block on TPU; the
@@ -127,7 +132,7 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     for j, p in enumerate(back):
         out.append((p & 0xFFFF).astype(jnp.int32))
         out.append((p >> 16).astype(jnp.int32))
-    if not flatten:
+    if flatten == "off":
         return jnp.stack(out[:k], axis=-1)  # (N, K) nearest-first
     # Column 0 drives the sticky default (the gated flat choice); chain
     # continuation only needs set membership, so flat takes the slot of the
@@ -310,8 +315,7 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     w = _windows_u32(block)
-    cands = _candidate_offsets(w, n, iota, cfg.candidates,
-                               cfg.flatten_chains)
+    cands = _candidate_offsets(w, n, iota, cfg.candidates, cfg.flatten)
     if jax.devices()[0].platform == "tpu":
         # Fused VMEM-resident kernel (bit-identical to the XLA path below).
         from .pallas import matcher as pallas_matcher
@@ -320,7 +324,10 @@ def encode_block(block: jax.Array, n: jax.Array,
         jump, off = _matcher_xla(cands, n, iota)
 
     # --- COMMIT ---
-    committed = scan.commit_bounded(jump) & (iota < n)
+    # Sequential entry scan on TPU (0.23 vs 0.27 ms/block A/B'd on v5e);
+    # the associative composition vectorizes far better on CPU hosts.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    committed = scan.commit_bounded(jump, sequential=on_tpu) & (iota < n)
     is_copy = committed & (jump >= 4)
     is_lit = committed & ~is_copy
 

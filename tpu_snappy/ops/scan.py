@@ -143,7 +143,12 @@ def entry_states_sequential(exit_maps: jax.Array) -> jax.Array:
 #: Segments per group in the two-level entry-state scan. The group-table
 #: domain must equal the group width (G*S) so that any entry state >= the
 #: domain provably skips the whole group (d -> d - G*S); G=4 gives 256-entry
-#: tables and quarters the sequential scan length.
+#: tables and quarters the sequential scan length. Measured SLOWER than the
+#: plain sequential scan on v5e (0.364 vs 0.287 ms/block within one job):
+#: the D-domain one-hot compositions materialize (ngrp, D, D) f32 one-hots
+#: (~70 MB per composition level) and that HBM traffic dwarfs the 816 saved
+#: scan steps, whose per-step cost is a tiny S-wide take_along_axis. Kept
+#: selectable + equality-tested as a recorded negative result.
 G = 4
 D = G * S  # 256
 
@@ -232,19 +237,29 @@ def committed_from_entries(jump: jax.Array, entry: jax.Array) -> jax.Array:
     return jnp.moveaxis(flags, 0, -1).reshape(jump.shape)
 
 
-def commit_bounded(jump: jax.Array) -> jax.Array:
-    """Committed flags for bounded jumps (1 <= jump <= S). Encode path."""
+def commit_bounded(jump: jax.Array, sequential: bool = False) -> jax.Array:
+    """Committed flags for bounded jumps (1 <= jump <= S). Encode path.
+
+    sequential=True (the encode default) runs the entry-state pass as the
+    NSEG-step lax.scan instead of the log-depth associative composition:
+    the composition's levels move (NSEG, S, S) f32 one-hots through HBM
+    while the sequential steps are S-wide take_along_axis — measured 0.23
+    vs 0.27 ms/block on v5e (same job, both directions repeated).
+    """
     maps = segment_exit_maps(jump)
+    if sequential:
+        return committed_from_entries(jump, entry_states_sequential(maps))
     return committed_from_entries(jump, entry_states_bounded(maps))
 
 
-def commit_general(jump: jax.Array) -> jax.Array:
+def commit_general(jump: jax.Array, grouped: bool = False) -> jax.Array:
     """Committed flags for arbitrary jumps >= 1. Decode tag-parse path.
 
-    Uses the two-level grouped scan (NSEG/G sequential steps) when the
-    segment count divides by G, else the plain sequential scan.
+    grouped=True selects the two-level grouped entry scan (NSEG/G sequential
+    steps) — measured slower on v5e (see note at G); default is the plain
+    sequential scan.
     """
     maps = segment_exit_maps(jump)
-    if maps.shape[-2] % G == 0:
+    if grouped and maps.shape[-2] % G == 0:
         return committed_from_entries(jump, entry_states_grouped(maps))
     return committed_from_entries(jump, entry_states_sequential(maps))
