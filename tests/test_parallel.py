@@ -61,3 +61,35 @@ def test_streaming_compress(mesh8):
     assert golden.uncompress(comp) == data
     # Stream output identical to one-shot output (wave boundaries invisible).
     assert comp == shard.encode_dp(data, mesh8)
+
+
+def test_corpus_single_dispatch_matches_waves():
+    # encode_corpus/decode_corpus (one lax.map program for many waves) must
+    # produce bit-identical results to the per-wave dispatch entry points.
+    import jax.numpy as jnp
+
+    from tpu_snappy.ops import decode as ops_decode, encode as ops_encode
+
+    data = corpus.load("all-mtg-cards.txt")[: 6 * fmt.BLOCK_SIZE + 999]
+    arr, lengths, nblocks = shard.blocks_of(data, fmt.BLOCK_SIZE, 8)
+    b, l = jnp.asarray(arr), jnp.asarray(lengths)
+    out_w, len_w = ops_encode.encode_blocks(b, l)
+    out_c, len_c = ops_encode.encode_corpus(b, l, wave=4)
+    assert np.array_equal(np.asarray(len_w), np.asarray(len_c))
+    assert np.array_equal(np.asarray(out_w), np.asarray(out_c))
+
+    comp = fmt.varint_encode(len(data)) + b"".join(
+        np.asarray(out_w)[i, : np.asarray(len_w)[i]].tobytes()
+        for i in range(nblocks))
+    total, start = fmt.varint_decode(comp)
+    frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
+    pad = 8 - len(clens)
+    frags = np.pad(frags, ((0, pad), (0, 0)))
+    clens = np.pad(clens, (0, pad))
+    ulens = np.pad(ulens, (0, pad))
+    f, c, u = (jnp.asarray(frags), jnp.asarray(clens, jnp.int32),
+               jnp.asarray(ulens, jnp.int32))
+    dec_w, ok_w = ops_decode.decode_fragments_jit(f, c, u)
+    dec_c, ok_c = ops_decode.decode_corpus(f, c, u, wave=4)
+    assert np.array_equal(np.asarray(ok_w), np.asarray(ok_c))
+    assert np.array_equal(np.asarray(dec_w), np.asarray(dec_c))

@@ -328,3 +328,26 @@ def _scan_index_py(buf: np.ndarray, start: int, total: int, max_frags: int):
 def decode_fragments(frags, clens, ulens, cfg: CodecConfig = DEFAULT_CONFIG):
     return decode_fragments_jit(jnp.asarray(frags), jnp.asarray(clens),
                                 jnp.asarray(ulens))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolve", "fields", "collapse_runs",
+                                    "wave"))
+def decode_corpus(frags: jax.Array, clens: jax.Array, ulens: jax.Array,
+                  resolve: str = "auto", fields: str = "auto",
+                  collapse_runs: bool = True, wave: int = 8):
+    """Whole-corpus decode as ONE dispatched program (lax.map over waves of
+    `wave` vmapped fragments) — the decode sibling of encode.encode_corpus:
+    same results as decode_fragments_jit, single-wave compile cost, one
+    per-dispatch fixed cost for the whole corpus."""
+    nf = frags.shape[0]
+    assert nf % wave == 0, "pad the fragment count to a wave multiple"
+    fw = frags.reshape(nf // wave, wave, frags.shape[-1])
+    cw = clens.reshape(nf // wave, wave)
+    uw = ulens.reshape(nf // wave, wave)
+    out, ok = jax.lax.map(
+        lambda t: jax.vmap(
+            lambda c, cl, ul: decode_fragment(c, cl, ul, resolve, fields,
+                                              collapse_runs))(*t),
+        (fw, cw, uw))
+    return out.reshape(nf, -1), ok.reshape(nf)

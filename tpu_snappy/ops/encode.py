@@ -421,3 +421,23 @@ def encode_blocks(blocks: jax.Array, lengths: jax.Array,
     Returns (out (B, capacity) uint8, out_lens (B,) int32)."""
     return jax.vmap(
         lambda b, n: encode_block(b, n, cfg, placement))(blocks, lengths)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "placement", "wave"))
+def encode_corpus(blocks: jax.Array, lengths: jax.Array,
+                  cfg: CodecConfig = DEFAULT_CONFIG,
+                  placement: str = "auto", wave: int = 8):
+    """Whole-corpus encode as ONE dispatched program: lax.map over waves of
+    `wave` vmapped blocks. Identical outputs to encode_blocks; compile cost
+    of a single wave (the loop body traces once), but a multi-wave corpus
+    pays the per-dispatch fixed cost once instead of per wave — on the
+    tunneled dev chip that cost is ~1.1 ms/program, ~15% of a wave.
+    blocks: (W*wave, 65536) uint8; lengths: (W*wave,) int32.
+    """
+    nb = blocks.shape[0]
+    assert nb % wave == 0, "pad the block count to a wave multiple"
+    bw = blocks.reshape(nb // wave, wave, blocks.shape[-1])
+    lw = lengths.reshape(nb // wave, wave)
+    out, lens = jax.lax.map(
+        lambda bl: encode_blocks(bl[0], bl[1], cfg, placement), (bw, lw))
+    return out.reshape(nb, -1), lens.reshape(nb)

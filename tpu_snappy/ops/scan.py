@@ -136,7 +136,11 @@ def entry_states_sequential(exit_maps: jax.Array) -> jax.Array:
         nxt = jnp.where(d >= S, d - S, thru)
         return nxt, d
 
-    _, entries = jax.lax.scan(step, jnp.zeros(exit_maps.shape[:-2], jnp.int32), maps)
+    # unroll=4: each scan step is a tiny S-wide take_along_axis, so loop
+    # bookkeeping is a measurable fraction (243 -> 226 us/block A/B'd on
+    # v5e at unroll 1 vs 4; 8 and 16 gave no further gain).
+    _, entries = jax.lax.scan(step, jnp.zeros(exit_maps.shape[:-2], jnp.int32),
+                              maps, unroll=4)
     return jnp.moveaxis(entries, 0, -1)  # (..., NSEG)
 
 

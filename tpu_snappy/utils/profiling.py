@@ -63,15 +63,26 @@ class Timer:
         return "\n".join(lines)
 
 
-def device_bench(fn, *args, iters: int = 20, trials: int = 3) -> float:
-    """Best-of-trials seconds per call: dispatch `iters` calls, sync once
-    (the device queue is sequential, so syncing the last bounds them all)."""
+def sync1(tree) -> None:
+    """Minimal completion barrier: fetch ONE scalar from the first leaf.
+    A program's outputs only materialize when the whole program finishes and
+    the per-device queue is in-order, so one scalar of the latest dispatch
+    bounds every prior dispatch — each extra leaf fetched would add a full
+    tunnel round-trip (~3-30 ms) of pure measurement bias."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def device_bench(fn, *args, iters: int = 30, trials: int = 3) -> float:
+    """Best-of-trials seconds per call: dispatch `iters` calls, then sync
+    once on a single scalar of the last output (see sync1 — syncing every
+    leaf would bias multi-output stages by leaves x RTT / iters)."""
     out = fn(*args)
     sync(out)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         outs = [fn(*args) for _ in range(iters)]
-        sync(outs[-1])
+        sync1(outs[-1])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
