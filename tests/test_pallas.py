@@ -257,6 +257,43 @@ def test_ffill_sparse_and_leading():
     assert (o[500:] == 500).all()
 
 
+def test_scans_cumsum_and_next_start():
+    """scans.cumsum_block / next_start_block vs numpy + scan.py golden,
+    at both the encoder's 64K element space and the decoder's FRAG_CAP."""
+    import jax
+    from tpu_snappy.ops.pallas import scans as PS
+    from tpu_snappy.ops import scan
+
+    rng = np.random.default_rng(13)
+    for m in (N, 68 * 1024):
+        x = rng.integers(0, 70, m).astype(np.int32)
+        inc = np.asarray(PS.cumsum_block(jnp.asarray(x)))
+        assert (inc == np.cumsum(x)).all()
+
+        flags = rng.random(m) < 0.02
+        got = np.asarray(PS.next_start_block(jnp.asarray(flags), m))
+        want = np.asarray(scan.next_element_start(jnp.asarray(flags), m))
+        assert (got == want).all()
+
+    # edge cases: empty, first-only, last-only flags
+    for f in (np.zeros(N, bool),
+              np.eye(1, N, 0, dtype=bool)[0],
+              np.eye(1, N, N - 1, dtype=bool)[0]):
+        got = np.asarray(PS.next_start_block(jnp.asarray(f), N))
+        want = np.asarray(scan.next_element_start(jnp.asarray(f), N))
+        assert (got == want).all()
+
+    # vmapped, as encode_blocks/decode_fragments use them
+    xb = rng.integers(0, 70, (3, N)).astype(np.int32)
+    incb = np.asarray(jax.vmap(PS.cumsum_block)(jnp.asarray(xb)))
+    assert (incb == np.cumsum(xb, axis=-1)).all()
+    fb = rng.random((3, N)) < 0.05
+    nsb = np.asarray(jax.vmap(lambda f: PS.next_start_block(f, N))(
+        jnp.asarray(fb)))
+    want = np.asarray(scan.next_element_start(jnp.asarray(fb), N))
+    assert (nsb == want).all()
+
+
 def test_elem_fields_kernel_matches_xla():
     """fields.elem_fields_block vs decode._elem_fields on real + adversarial
     streams (every byte speculatively decoded as a tag, incl. wrap at end)."""

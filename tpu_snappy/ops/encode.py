@@ -336,6 +336,10 @@ def encode_block(block: jax.Array, n: jax.Array,
     lit_start = is_lit & ~prev_lit
     elem = is_copy | lit_start
 
+    # XLA's associative scans measure even with the VMEM-resident Pallas
+    # forms here (ops/pallas/scans.py; A/B'd on v5e: encode 1019.8 vs
+    # 1022.7 us/block, both standalone at the dispatch floor) — keep the
+    # XLA path, which adds no scoped-VMEM pressure under batching.
     run_end = jnp.minimum(scan.next_element_start(elem, N), n)
     lit_len = jnp.maximum(run_end - iota, 1)  # valid at lit_start only
 

@@ -3,16 +3,21 @@
 TPU has no vector-gather hardware; XLA lowers a 64K-element dynamic gather
 to a ~700us scalar path — the single dominant cost of the decoder's copy-
 chain pointer doubling. The MXU *is* the TPU's gather engine: decompose the
-index as idx = hi*128 + lo, then
+index as idx = hi*256 + lo, then
 
-    W[t, h] = X2[h, lo[t]]   — one-hot(lo) contraction against X2 = x.reshape(512, 128)
-    y[t]    = W[t, hi[t]]    — one-hot(hi) masked row-sum
+    W[t, h] = X2[h, lo[t]]   — one-hot(hi) contraction against X2 = x.reshape(256, 256)
+    y[t]    = W[t, lo[t]]    — one-hot(lo) masked lane sum on the VPU
 
 MXU matmuls round f32 operands to bf16 (integers only exact to 256), so
 16-bit values are gathered as two 8-bit limbs — each limb matmul is exact
 (one-hot times values < 256, f32 accumulation) and runs at full bf16 MXU
-rate. Work is 2 * N * 1024 MACs per block, every intermediate in VMEM;
-measured ~2.5x faster than XLA's gather path on v5e.
+rate. Work is limbs * N * N/256 MACs per block, every intermediate in VMEM.
+
+Shape/dtype choices are measured (v5e, within one warm job, 8-block batch):
+f32 one-hots + (512, 128) split + 8-row tiles (the original form) 322
+us/block standalone; bf16 one-hots 259; (256, 256) split 246; 16-row tiles
+230 — net of the ~138 us/block standalone-dispatch floor that's ~2x. int8
+one-hot matmuls returned wrong values through Mosaic and were no faster.
 """
 
 from __future__ import annotations
@@ -25,9 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 N = 1 << 16
-HI = 512       # rows of the value matrix
-LO = 128       # columns of the value matrix
-TR, TC = 8, 128  # target tile: 8 x 128 = 1024 targets per grid step
+HI = 256       # rows of the value matrix
+LO = 256       # columns of the value matrix
+TR, TC = 16, 128  # target tile: 16 x 128 = 2048 targets per grid step
 
 
 def _make_kernel(limbs: int):
@@ -36,16 +41,14 @@ def _make_kernel(limbs: int):
         idx_ref, out_ref = refs[limbs], refs[limbs + 1]
         idx = idx_ref[:]
         lo = idx & (LO - 1)
-        hi = idx >> 7
+        hi = idx >> 8
 
-        # Row gather on the MXU (contract the 512-wide one-hot against the
-        # value matrix), then a 128-way lane select on the VPU. The
-        # transposed variant (contract LO on the MXU, masked-sum the
-        # (TR, TC, HI) intermediate on the VPU) needs ~2.6M VPU ops/tile vs
-        # ~1.3M here.
+        # Row gather on the MXU (contract the HI-wide one-hot against the
+        # value matrix), then an LO-way lane select on the VPU. bf16
+        # one-hots: exact (0/1) and half the build/feed cost of f32.
         hi_oh = (hi[:, :, None] ==
                  jax.lax.broadcasted_iota(jnp.int32, (TR, TC, HI), 2)
-                 ).astype(jnp.float32)
+                 ).astype(jnp.bfloat16)
         lo_oh = (lo[:, :, None] ==
                  jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
                  ).astype(jnp.float32)
@@ -76,7 +79,7 @@ def gather_block(x: jax.Array, idx: jax.Array, limbs: int = 2) -> jax.Array:
     must fit 8*limbs bits (block positions need 2 limbs, bytes only 1 —
     each limb costs one MXU pass)."""
     xs = [((x >> (8 * (limbs - 1 - j))) & 0xFF).reshape(HI, LO)
-          .astype(jnp.float32) for j in range(limbs)]
+          .astype(jnp.bfloat16) for j in range(limbs)]
     idx2 = idx.reshape(N // TC, TC)
     full = pl.BlockSpec((HI, LO), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
