@@ -56,12 +56,14 @@ def _gather_out(x: jax.Array, idx: jax.Array, limbs: int = 2) -> jax.Array:
 
 
 def _scatter_out(dest: jax.Array, values: jax.Array, limbs: int) -> jax.Array:
-    """Unique-destination scatter onto a 64K output block (dest == 65536
-    drops); MXU one-hot kernel on TPU, .at[].set elsewhere. Returns (65536,)
-    int32 with unwritten cells 0."""
+    """Additive scatter onto a 64K output block (dest == 65536 drops);
+    MXU one-hot kernel on TPU, .at[].add elsewhere. Duplicate destinations
+    SUM (the transport scatter relies on this: tag-descriptor and payload
+    sources share cells via disjoint bit ranges). Returns (65536,) int32
+    with unwritten cells 0."""
     if _on_tpu():
         return pallas_scatter.scatter_block(dest, values, limbs)
-    return jnp.zeros(OUT + 1, jnp.int32).at[dest].set(values)[:OUT]
+    return jnp.zeros(OUT + 1, jnp.int32).at[dest].add(values)[:OUT]
 
 
 def _ffill(mask: jax.Array, vals: tuple) -> tuple:
@@ -156,23 +158,29 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     bad_copy = tags & ~is_lit & ((off < 1) | (off > opos))
     ok &= ~jnp.any(bad_copy)
 
-    # --- TRANSPORT: literal payload scatter (compressed -> output space) ---
+    # --- TRANSPORT: one fused scatter (compressed -> output space) ---
+    # Literal payload bytes ride bits 0-7; packed element descriptors
+    # (offset:17 | is_lit:1 | mark:1) ride bits 8-26 at their element's
+    # output start. A tag source and a payload source can target the SAME
+    # cell (a literal's first payload byte lands at its element's opos),
+    # but they occupy disjoint bit ranges, so the scatter kernel's
+    # duplicate-sum semantics compose them exactly — one one-hot build
+    # (the kernel's dominant cost) instead of two.
     estart, eopos, ehdr, eislit = _ffill(
         tags, (iota, opos, hdr, is_lit.astype(jnp.int32)))
     is_payload = (eislit == 1) & (iota >= estart + ehdr) & (iota < clen)
     out_q = eopos + iota - estart - ehdr
     dump = OUT
-    lit_out = _scatter_out(
-        jnp.where(is_payload, jnp.clip(out_q, 0, OUT), dump),
-        c.astype(jnp.int32), limbs=1)
+    desc = (jnp.where(is_lit, 0, off) << 2) | (is_lit.astype(jnp.int32) << 1) | 1
+    mdst = jnp.where(tags, jnp.minimum(opos, OUT),
+                     jnp.where(is_payload, jnp.clip(out_q, 0, OUT), dump))
+    mval = jnp.where(tags, desc << 8, c.astype(jnp.int32))
+    merged = _scatter_out(mdst, mval, limbs=4)
+    lit_out = merged & 0xFF
+    o_desc = merged >> 8
 
     # --- RESOLVE: copy chains over output space ---
     oiota = jnp.arange(OUT, dtype=jnp.int32)
-    # One scatter of packed element descriptors (offset:17 | is_lit:1 |
-    # mark:1) at their output start, then fill across bytes.
-    desc = (jnp.where(is_lit, 0, off) << 2) | (is_lit.astype(jnp.int32) << 1) | 1
-    o_desc = _scatter_out(
-        jnp.where(tags, jnp.minimum(opos, OUT), dump), desc, limbs=3)
     desc_f = _ffill(o_desc != 0, (o_desc,))[0]
     lit_f = (desc_f & 2) != 0
     off_f = desc_f >> 2

@@ -48,6 +48,25 @@ from . import scan
 
 N = fmt.BLOCK_SIZE  # 65536: fixed lane count of every per-position array
 
+#: Windowed sticky-composition depth: composes the last 2**STICKY_LEVELS
+#: stride-4 transfers. The chain horizon is 17 stride-4 steps (the capped
+#: run-length doubling counts at most 16 links = 68 bytes), so 32 >= 17
+#: transfers suffice; corpus-swept: 5 levels is bit-identical in output
+#: size to 6 on every corpus file, 4 costs a few bytes. The Pallas matcher
+#: kernel mirrors this constant.
+STICKY_LEVELS = 5
+
+
+def _ffill(mask: jax.Array, vals: jax.Array) -> jax.Array:
+    """Forward-fill on the encode hot path: VMEM-resident Pallas kernel on
+    TPU (one fused pass; the XLA associative scan round-trips HBM per tree
+    level and measured ~100-120 us/block standalone on v5e), XLA scan
+    elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        from .pallas import ffill as pallas_ffill
+        return pallas_ffill.ffill_block(mask, vals)[0]
+    return scan.ffill(mask, vals)
+
 
 def _windows_u32(block: jax.Array) -> jax.Array:
     """4-byte little-endian windows w[i] = bytes[i:i+4] (wraps at the end;
@@ -94,7 +113,7 @@ def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         # else the oldest of the K nearest. See _flat_gate for the commit
         # gate both modes share.
         run_start = (w_s != jnp.roll(w_s, 1, axis=-1)) | (rank == 0)
-        first_pos = scan.ffill(run_start, pos_s)
+        first_pos = _ffill(run_start, pos_s)
         first = jnp.where(
             (w_s != jnp.uint32(0xFFFFFFFF)) & (first_pos < pos_s),
             pos_s - first_pos, 0)
@@ -215,7 +234,7 @@ def _sticky_offsets(cands: jax.Array) -> jax.Array:
         return keep, d
 
     state = (keeps, dflt)
-    for lvl in range(6):  # composes the last 64 stride-4 transfers
+    for lvl in range(STICKY_LEVELS):  # composes the last 32 stride-4 transfers
         state = compose(4 << lvl, state)
     return state[1]
 
@@ -391,7 +410,7 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # Literal payload: dest = out_off[s] + hdr[s] + (i - s) for run start s.
     base = out_off + lit_hdr - iota
-    basef = scan.ffill(lit_start, base)
+    basef = _ffill(lit_start, base)
     lane_b_dst = basef + iota
 
     from .pallas import place as pallas_place

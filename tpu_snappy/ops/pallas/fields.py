@@ -1,25 +1,25 @@
-"""Pallas TPU kernel: fused speculative element-field decode.
+"""Pallas TPU kernel: fused speculative element-field decode (gridded).
 
 Computes decode._elem_fields — (size, outbytes, is_lit, hdr, offset) for
-EVERY compressed byte position, as if each byte were a tag — in one
-VMEM-resident pass. The XLA version materializes the four shifted byte
-streams plus ~10 intermediate (FRAG_CAP,) i32 arrays through HBM and was
-measured at 0.217 ms/block (the bulk of the decode parse, which the scan
-machinery itself finishes in ~0.07 ms); here the whole computation is five
-VPU expressions over one 68 KB VMEM block.
+EVERY compressed byte position, as if each byte were a tag. The XLA version
+materializes the four shifted byte streams plus ~10 intermediate (FRAG_CAP,)
+i32 arrays through HBM and was measured at 0.217 ms/block (the bulk of the
+decode parse, which the scan machinery itself finishes in ~0.07 ms).
+
+The first kernel form here ran the whole 68 KB fragment as a single grid=1
+VMEM block and measured SLOWER than XLA (0.667 ms/block): with one giant
+block Mosaic cannot overlap HBM loads with compute. This version tiles the
+fragment over a grid and feeds each step TWO views of the input — its own
+tile and the next tile (wrapping at the fragment end) — so the 4-byte
+lookahead crosses tile boundaries exactly the way jnp.roll wraps, while
+Mosaic double-buffers tiles through VMEM. Bit-identical to the XLA path.
 
 Plays the role the reference's (stubbed) decode datapath would have needed:
 the tag-byte field extraction of CompressionAccelerator.scala's funct=1
 path (never implemented there, CompressionAccelerator.scala:385-388).
-
-Roll identity note: like the XLA path's jnp.roll, the byte streams wrap at
-the fragment end; positions past clen are zero padding and masked by the
-parse, so the wrap is harmless and the two paths agree bit-for-bit.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,24 +27,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FRAG_CAP = 68 * 1024
-ROWS, LANES = FRAG_CAP // 128, 128  # 544 x 128
+LANES = 128
+ROWS = FRAG_CAP // LANES  # 544
+TR = 16                   # rows per grid step; 544 = 34 tiles
+TILES = ROWS // TR
 
 
-def _rollb(x, s):
-    """y[i] = x[i + s] in flattened row-major order (backward roll, wraps)."""
+def _rollb_ext(x, s):
+    """y[i] = x[i + s] over a flattened (TR+halo, LANES) block; only the
+    first TR rows of the result are consumed, so the block-level wrap is
+    harmless."""
     assert 0 < s < LANES
+    rows = x.shape[0]
     z = pltpu.roll(x, LANES - s, axis=1)
-    zc = pltpu.roll(z, ROWS - 1, axis=0)
+    zc = pltpu.roll(z, rows - 1, axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     return jnp.where(lane < LANES - s, z, zc)
 
 
-def _kernel(c_ref, size_ref, outb_ref, islit_ref, hdr_ref, off_ref):
-    t = c_ref[:].astype(jnp.int32)
-    b1 = _rollb(t, 1)
-    b2 = _rollb(t, 2)
-    b3 = _rollb(t, 3)
-    b4 = _rollb(t, 4)
+def _kernel(c_ref, nxt_ref, size_ref, outb_ref, islit_ref, hdr_ref, off_ref):
+    # Extended tile: TR rows + an 8-row halo from the next tile (the roll
+    # lookahead needs only 4 bytes; 8 rows is the f32/i32 sublane tile).
+    t = jnp.concatenate(
+        [c_ref[:], nxt_ref[0:8, :]], axis=0).astype(jnp.int32)
+    b1 = _rollb_ext(t, 1)
+    b2 = _rollb_ext(t, 2)
+    b3 = _rollb_ext(t, 3)
+    b4 = _rollb_ext(t, 4)
+    t, b1, b2, b3, b4 = (a[:TR] for a in (t, b1, b2, b3, b4))
     kind = t & 3
     code = t >> 2
 
@@ -81,15 +91,20 @@ def _interpret() -> bool:
 def elem_fields_block(c: jax.Array):
     """c: (FRAG_CAP,) uint8. Returns (size, outbytes, is_lit, hdr, offset),
     each (FRAG_CAP,) int32 — bit-identical to decode._elem_fields (which
-    additionally returns a `length` field no caller consumes)."""
+    additionally returns a `length` field no caller consumes); the shifted
+    byte streams wrap at the fragment end exactly like jnp.roll (the final
+    tile's halo is tile 0)."""
     c2 = c.reshape(ROWS, LANES)
+    tile = pl.BlockSpec((TR, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((TR, LANES), lambda i: ((i + 1) % TILES, 0),
+                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _kernel,
-        in_specs=[pl.BlockSpec((ROWS, LANES), lambda: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((ROWS, LANES), lambda: (0, 0),
-                                memory_space=pltpu.VMEM)] * 5,
+        grid=(TILES,),
+        in_specs=[tile, halo],
+        out_specs=[tile] * 5,
         out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.int32)] * 5,
         interpret=_interpret(),
-    )(c2)
+    )(c2, c2)
     return tuple(o.reshape(FRAG_CAP) for o in outs)

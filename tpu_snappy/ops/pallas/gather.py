@@ -51,14 +51,17 @@ def _make_kernel(limbs: int):
                  ).astype(jnp.bfloat16)
         lo_oh = (lo[:, :, None] ==
                  jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
-                 ).astype(jnp.float32)
+                 ).astype(jnp.bfloat16)
 
         def limb(x_ref):
+            # Mosaic requires a 32-bit matmul accumulator, so z stays f32;
+            # the lo one-hot rides bf16 (exact 0/1, half the build traffic)
+            # and upcasts in-register at the select.
             z = jax.lax.dot_general(
                 hi_oh, x_ref[:],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (TR, TC, LO)
-            return jnp.sum(z * lo_oh, axis=2)
+            return jnp.sum(z * lo_oh.astype(jnp.float32), axis=2)
 
         res = limb(x_refs[0]).astype(jnp.int32)
         for j in range(1, limbs):

@@ -53,10 +53,12 @@ def _make_kernel(k: int):
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
 
-        # --- sticky offsets: windowed keep-set composition, 6 levels ---
+        # --- sticky offsets: windowed keep-set composition (the level
+        # count mirrors encode.STICKY_LEVELS; see the analysis there) ---
+        from tpu_snappy.ops.encode import STICKY_LEVELS
         keeps = [cands_ref[j] for j in range(k)]
         dflt = keeps[0]
-        for lvl in range(6):
+        for lvl in range(STICKY_LEVELS):
             s = 4 << lvl
 
             def in_b(x):
