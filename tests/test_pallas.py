@@ -200,7 +200,7 @@ def test_resolve_decode_equivalence():
         import tpu_snappy.format as fmt
         _, start = fmt.varint_decode(comp)
         frags, clens, ulens = D.fragment_table(comp, start, len(data))
-        for resolve in ("xla", "kernel"):
+        for resolve in ("xla", "kernel", "windowed"):
             out, ok = D.decode_fragments_jit(
                 jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
                 resolve=resolve)
@@ -321,3 +321,84 @@ def test_elem_fields_kernel_matches_xla():
         want = (size, outb, islit.astype(jnp.int32), hdr, off)
         for g, w in zip(got, want):
             assert (np.asarray(g) == np.asarray(w)).all()
+
+
+@pytest.mark.parametrize("k", [8, 16])
+def test_gather_window_chains(k):
+    """Windowed gather: in-window targets gather, out-of-window don't advance.
+    Golden recomputed in numpy from the documented window geometry."""
+    from tpu_snappy.ops.pallas import gatherw as GW
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 16, N, dtype=np.int32)
+    pos = np.arange(N)
+    # backward pointers with a mix of near and far hops (idx[p] <= p)
+    hops = rng.integers(0, 50000, N)
+    idx = np.maximum(pos - hops, 0).astype(np.int32)
+    y = np.asarray(GW.gather_window_block(
+        jnp.asarray(x), jnp.asarray(idx), k=k))
+    win_lo = ((pos >> 11) - (k - 1)) << 11
+    want = np.where(idx >= win_lo, x[idx], idx)
+    assert (y == want).all()
+
+
+def test_gather_window_doubling_matches_full():
+    """A windowed round composed with full rounds reaches the same fixed
+    point as full-only doubling on a realistic copy-chain pointer array."""
+    from tpu_snappy.ops.pallas import gatherw as GW
+    rng = np.random.default_rng(8)
+    pos = np.arange(N)
+    src = pos.copy()
+    # chains: every 3rd position points back 1..3000 bytes
+    m = rng.random(N) < 0.33
+    src[m] = np.maximum(pos[m] - rng.integers(1, 3000, m.sum()), 0)
+    src = np.minimum(src, pos)  # backward invariant
+    s_full = src.copy()
+    for _ in range(17):
+        s_full = s_full[s_full]
+    s = jnp.asarray(src.astype(np.int32))
+    for k in (8, 8, 16, 16):
+        s = GW.gather_window_block(s, s, k=k)
+    s = np.asarray(s)
+    for _ in range(17):
+        s = s[s]
+    assert (s == s_full).all()
+
+
+def test_window_keys_kernel():
+    """Fused window-key kernel vs the XLA expression, boundary n values."""
+    from tpu_snappy.ops.pallas import windows as W
+    from tpu_snappy.ops import encode as E
+    rng = np.random.default_rng(11)
+    block = rng.integers(0, 256, N, dtype=np.uint8)
+    iota = np.arange(N, dtype=np.int32)
+    for n in (N, N - 1, 5000, 4, 3, 0):
+        got = np.asarray(W.window_keys_block(
+            jnp.asarray(block), jnp.int32(n)))
+        w = np.asarray(E._windows_u32(jnp.asarray(block)))
+        want = np.where(iota <= n - 4, w, np.uint32(0xFFFFFFFF))
+        assert (got == want).all(), n
+
+
+def test_emit_kernel_stream_equivalence():
+    """The fused emit kernel (placement="emit", interpreted on CPU) must
+    produce the byte-identical stream to the XLA emission lanes on real
+    data, including >60-byte literal runs (random data) and RLE."""
+    from tpu_snappy.ops import encode as E
+    from tpu_snappy import format as fmt
+    from tpu_snappy.utils import corpus
+    rng = np.random.default_rng(13)
+    datas = [b"The quick brown fox jumps over the lazy dog. " * 300,
+             bytes(rng.integers(0, 256, 20000, "u1")),  # long literal runs
+             b"ab" * 8000]                               # RLE copies
+    if corpus.has_reference_corpus():
+        datas.append(corpus.load("all-mtg-cards.txt")[:fmt.BLOCK_SIZE])
+    for data in datas:
+        n = min(len(data), fmt.BLOCK_SIZE)
+        buf = np.zeros(fmt.BLOCK_SIZE, np.uint8)
+        buf[:n] = np.frombuffer(data[:n], np.uint8)
+        blocks = jnp.asarray(buf)[None]
+        lens = jnp.full((1,), n, jnp.int32)
+        out_s, tot_s = E.encode_blocks(blocks, lens, placement="sort")
+        out_e, tot_e = E.encode_blocks(blocks, lens, placement="emit")
+        assert int(tot_s[0]) == int(tot_e[0])
+        assert (np.asarray(out_s) == np.asarray(out_e)).all()

@@ -124,8 +124,8 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
                     collapse_runs: bool = True):
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
     resolve: copy-chain strategy — "auto" (per-round dispatched doubling,
-    measured fastest), "kernel" (fused mega-kernel), "stable", or "xla";
-    identical results. fields: "auto"/"xla" (fused XLA arithmetic) or
+    measured fastest), "kernel" (fused mega-kernel), "stable", "windowed"
+    (windowed prefix rounds), or "xla"; identical results. fields: "auto"/"xla" (fused XLA arithmetic) or
     "kernel" (Pallas; measured slower, kept selectable). collapse_runs:
     arithmetic periodic-run collapse before doubling (A/B knob).
     Returns (out (65536,) uint8, ok bool)."""
@@ -240,6 +240,24 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             (src, jnp.zeros(doubling.TILES, jnp.int32), jnp.int32(0)))
         out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
     else:
+        done = jnp.bool_(False)
+        if resolve == "windowed":
+            # Windowed prefix rounds (ops/pallas/gatherw.py) — measured a
+            # WASH on v5e and kept only as a selectable, tested alternative:
+            # per-round cost is grid-step/operand overhead (~110-125 us net
+            # regardless of table width: k=8 124, k=16 110, full 116), NOT
+            # the MXU contraction the window shrinks, and streams that
+            # previously early-exited (repeating/random) pay the fixed
+            # prefix. See gatherw.py for the hop-locality analysis that
+            # motivated it (94% of round-1 hops within 16 KB on mtg).
+            from .pallas import gatherw
+            tile = oiota >> 11  # 2048-element window chunks
+            for k in (8, 8, 16, 16):
+                s2 = gatherw.gather_window_block(src, src, k=k)
+                in_win = src >= ((tile - (k - 1)) << 11)
+                done = jnp.all(in_win & (s2 == src))
+                src = s2
+
         def _cond(c):
             s, it, done = c
             return (it < 16) & ~done
@@ -250,7 +268,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             return s2, it + 1, jnp.all(s2 == s)
 
         src, _, _ = jax.lax.while_loop(
-            _cond, _body, (src, jnp.int32(0), jnp.bool_(False)))
+            _cond, _body, (src, jnp.int32(0), done))
         out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
     out = jnp.where(oiota < ulen, out, 0)
     return out, ok

@@ -78,20 +78,28 @@ def _windows_u32(block: jax.Array) -> jax.Array:
             | jnp.roll(b, -3, axis=-1) << 24)
 
 
-def _candidate_offsets(w: jax.Array, n: jax.Array, iota: jax.Array, k: int,
+def _window_keys(block: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
+    """Pair-sort input keys: the 4-byte window at every valid position,
+    0xFFFFFFFF past n-4 (sorts last). One fused VMEM pass on TPU (the XLA
+    cast+rolls+shift chain measured ~139 us/block), XLA elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        from .pallas import windows as pallas_windows
+        return pallas_windows.window_keys_block(block, n)
+    return jnp.where(iota <= n - 4, _windows_u32(block), jnp.uint32(0xFFFFFFFF))
+
+
+def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
                        flatten: str = "class"):
     """Previous positions with an identical 4-byte window, as offsets
-    (0 = no candidate). Sort-based rank-space matcher: after sorting
-    (window, position) pairs, the k-th previous occurrence of any window is
-    exactly k rows up, with equality proven by key equality — denser and
-    collision-free vs. any SRAM hash table (HashTable.scala keeps one
-    512-entry column and loses every collision).
+    (0 = no candidate). key: _window_keys output. Sort-based rank-space
+    matcher: after sorting (window, position) pairs, the k-th previous
+    occurrence of any window is exactly k rows up, with equality proven by
+    key equality — denser and collision-free vs. any SRAM hash table
+    (HashTable.scala keeps one 512-entry column and loses every collision).
 
     Returns the (N, k) sticky-candidate table: column 0 is the gated
     chain-flattening choice (_flat_gate), columns 1..k-1 the k-1 nearest
     occurrences; every entry is window-verified by the sort."""
-    valid = iota <= n - 4
-    key = jnp.where(valid, w, jnp.uint32(0xFFFFFFFF))
     w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
 
     rank = jnp.arange(N, dtype=jnp.int32)
@@ -324,8 +332,10 @@ def encode_block(block: jax.Array, n: jax.Array,
     """Encode one 64 KB block.
 
     block: (65536,) uint8 (zero-padded past n); n: scalar int32.
-    placement: byte-placement strategy — "auto" (Pallas kernel on TPU, sort
-    elsewhere), "kernel", or "sort"; both produce the identical stream.
+    placement: emission strategy — "auto" (fused emit kernel + placement
+    sort on TPU, XLA lanes + sort elsewhere), "emit" (force the emit
+    kernel), "sort" (XLA lanes + sort), or "kernel" (XLA lanes + windowed
+    placement kernel); all produce the identical stream.
     Returns (out, out_len): out is (block_capacity,) uint8 of raw Snappy
     elements (no stream preamble), valid up to out_len.
     """
@@ -333,8 +343,8 @@ def encode_block(block: jax.Array, n: jax.Array,
     cap = cfg.block_capacity
 
     # --- MATCH + EXTEND ---
-    w = _windows_u32(block)
-    cands = _candidate_offsets(w, n, iota, cfg.candidates, cfg.flatten)
+    key = _window_keys(block, n, iota)
+    cands = _candidate_offsets(key, n, iota, cfg.candidates, cfg.flatten)
     if jax.devices()[0].platform == "tpu":
         # Fused VMEM-resident kernel (bit-identical to the XLA path below).
         from .pallas import matcher as pallas_matcher
@@ -351,6 +361,19 @@ def encode_block(block: jax.Array, n: jax.Array,
     is_lit = committed & ~is_copy
 
     # --- EMIT ---
+    if placement == "emit" or (on_tpu and placement == "auto"):
+        # Fused emission kernel (ops/pallas/emit.py): element detection,
+        # run lengths, offsets, tag bytes, and both placement lanes in one
+        # VMEM pass, bit-identical to the XLA expressions below. Only the
+        # placement sort remains in XLA.
+        from .pallas import emit as pallas_emit
+        cjv = jnp.where(committed, jump, -1)
+        pack_a, pack_b, total = pallas_emit.emit_block(cjv, off, block, n)
+        pack = jnp.concatenate([pack_a, pack_b], axis=-1)
+        out = (jnp.sort(pack, axis=-1) & 0xFF).astype(jnp.uint8)[..., :cap]
+        out = jnp.where(jnp.arange(cap) < total, out, 0)
+        return out, total
+
     prev_lit = jnp.roll(is_lit, 1, axis=-1).at[..., 0].set(False)
     lit_start = is_lit & ~prev_lit
     elem = is_copy | lit_start
