@@ -119,3 +119,24 @@ def test_overlapping_copies_rle():
     for period in (1, 2, 3, 7, 63):
         data = (bytes(range(1, period + 1)) * (30000 // period + 1))[:30000]
         certify(data)
+
+
+@pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")
+def test_probe_dedup_speed_knob():
+    # candidates=12/probes=16 activates the rank-probe ladder dedup
+    # (encode._candidate_offsets): streams must stay valid Snappy for both
+    # golden decoders, and the ratio must stay at-or-below software Snappy
+    # on text (the knob's documented exception is alignerTestData-style
+    # uniform regions, which is why it is not the default).
+    import dataclasses
+    from tpu_snappy.config import DEFAULT_CONFIG
+    cfg = dataclasses.replace(DEFAULT_CONFIG, candidates=12, probes=16)
+    for name in ["fox-in-socks.txt", "real-5000.txt", "repeating-5000.txt"]:
+        data = corpus.load(name)
+        comp = api.compress(data, cfg=cfg)
+        assert golden.uncompress(comp) == data
+        assert ref.decompress(comp) == data
+        assert len(comp) <= len(golden.compress(data)) + 8
+    run = (b"x" * 300 + b"period17-line\n\x00\x00\x00") * 40
+    comp = api.compress(run, cfg=cfg)
+    assert golden.uncompress(comp) == run

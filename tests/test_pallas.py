@@ -200,7 +200,7 @@ def test_resolve_decode_equivalence():
         import tpu_snappy.format as fmt
         _, start = fmt.varint_decode(comp)
         frags, clens, ulens = D.fragment_table(comp, start, len(data))
-        for resolve in ("xla", "kernel", "windowed"):
+        for resolve in ("xla", "kernel", "windowed", "plain", "hybrid"):
             out, ok = D.decode_fragments_jit(
                 jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
                 resolve=resolve)

@@ -30,11 +30,28 @@ class CodecConfig:
     #: is built by sort, not by a size-constrained SRAM.
     hash_bits: int = 16
 
-    #: Number of previous-occurrence candidates verified per position
-    #: (rank-space sort neighbors). 16 reaches software-Snappy ratio parity on
-    #: every corpus class incl. low-entropy hex dumps (alignerTestData);
-    #: lower trades ratio for encode speed.
+    #: Number of candidate slots carried per position through the restore
+    #: sort and the sticky scan (restore payload = candidates/2 u32 words;
+    #: sticky membership cost ~ candidates^2). 16 reaches software-Snappy
+    #: ratio parity on every corpus class incl. low-entropy hex dumps
+    #: (alignerTestData); lower trades ratio for encode speed (K=12 is
+    #: ~10% faster encode and loses only the tiny alignerTestData file,
+    #: +16 B over golden — see the dedup note below).
     candidates: int = 16
+
+    #: Number of rank-space sort neighbors probed per position. When
+    #: probes > candidates, the probed ascending offsets are dedup-compacted
+    #: into the slots: the contiguous offset ladder rooted at 1 that byte
+    #: runs generate (1,2,3,…) is RLE-redundant with offset 1 and dropped.
+    #: This recovers most of K=16's parse quality at K=12 but NOT all:
+    #: uniform regions (e.g. zero runs with a 17-byte line period) place the
+    #: structurally-critical offset at rank ~13 inside a consecutive ladder
+    #: NOT rooted at 1, where no sound local rule can identify it — point
+    #: slots simply need the width (an interval-set candidate table would
+    #: cover it, but costs more in sticky composition than it saves in the
+    #: restore sort). Default equal to `candidates` = no dedup, bit-exact
+    #: legacy table.
+    probes: int = 16
 
     #: Segment size for the bounded-state commit scan. Must equal
     #: MAX_COPY_LEN: the scan state (distance to next committed position)

@@ -79,6 +79,11 @@ def _ffill(mask: jax.Array, vals: tuple) -> tuple:
 FRAG_CAP = 68 * 1024
 OUT = fmt.BLOCK_SIZE
 
+#: Sparse-resolve extraction width (hybrid path): the dense doubling loop
+#: runs until the moving set fits this many lanes. Swept on v5e (mtg):
+#: larger exits the dense loop a round earlier but chases longer.
+SPARSE_CAP = 12288
+
 
 def _elem_fields(c: jax.Array):
     """Speculative per-byte element decode (as if every byte were a tag).
@@ -123,11 +128,14 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
                     resolve: str = "auto", fields: str = "auto",
                     collapse_runs: bool = True):
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
-    resolve: copy-chain strategy — "auto" (per-round dispatched doubling,
-    measured fastest), "kernel" (fused mega-kernel), "stable", "windowed"
-    (windowed prefix rounds), or "xla"; identical results. fields: "auto"/"xla" (fused XLA arithmetic) or
-    "kernel" (Pallas; measured slower, kept selectable). collapse_runs:
-    arithmetic periodic-run collapse before doubling (A/B knob).
+    resolve: copy-chain strategy — "auto"/"hybrid" (dense doubling rounds
+    while the moving set is large, then sort-extract + sparse pointer
+    chase + sort-restore; see the inline analysis), "plain" (per-round
+    dispatched doubling to the fixed point), "kernel" (fused mega-kernel),
+    "stable", "windowed" (windowed prefix rounds), or "xla"; identical
+    results. fields: "auto"/"xla" (fused XLA arithmetic) or "kernel"
+    (Pallas; measured slower, kept selectable). collapse_runs: arithmetic
+    periodic-run collapse before doubling (A/B knob).
     Returns (out (65536,) uint8, ok bool)."""
     m = c.shape[-1]
     iota = jnp.arange(m, dtype=jnp.int32)
@@ -238,6 +246,77 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         src, _, _ = jax.lax.while_loop(
             _cond, _body,
             (src, jnp.zeros(doubling.TILES, jnp.int32), jnp.int32(0)))
+        out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
+    elif resolve == "auto" or resolve == "hybrid":
+        # Dense-then-sparse doubling. Measured depth distribution on text
+        # (mtg, flattened streams): ~46% of bytes sit on chains deeper than
+        # 8, so doubling must run dense while the unresolved set is large —
+        # but it collapses fast past round ~5 (9.8K -> 3.6K -> 1K -> 0),
+        # and the last ~4 full-table gather rounds touch 64K lanes to move
+        # a few thousand. Instead, once the moving set fits CAP lanes:
+        # extract (one 2-operand sort), CHASE pointers through the now-
+        # frozen table with CAP-target gathers (the table is absorbing —
+        # resolved entries are fixpoints, so stale reads stay exact and
+        # every chase step advances 2^dense_rounds hops), and restore with
+        # one more sort. Streams that resolve in <= 2 rounds (random;
+        # repeating after run collapse) never enter the sparse while-loop.
+        CAP = SPARSE_CAP  # lanes; must be a multiple of gather tiles (2048)
+        oiota_ = oiota
+
+        def dense_cond(c):
+            _s, _m, cnt, it = c
+            return (cnt > 0) & (it < 16) & ((it < 2) | (cnt > CAP))
+
+        def dense_body(c):
+            s, _m, _cnt, it = c
+            s2 = _gather_out(s, s)
+            m = s2 != s
+            return s2, m, jnp.sum(m.astype(jnp.int32)), it + 1
+
+        src, mask, cnt, _ = jax.lax.while_loop(
+            dense_cond, dense_body,
+            (src, jnp.ones(OUT, jnp.bool_), jnp.int32(OUT), jnp.int32(0)))
+
+        def sparse_cond(c):
+            ran, cnt2 = c[0], c[1]
+            return ~ran & (cnt2 > 0)
+
+        def sparse_body(c):
+            _ran, _cnt, s, m = c
+            # Unresolved-first extraction. `m` (moved last round) is a
+            # sound over-approximation of "not yet at a literal": a lane
+            # that did not move had a fixpoint (= literal) source already.
+            key = jnp.where(m, oiota_, oiota_ + (1 << 17))
+            ks, qs = jax.lax.sort((key, s), num_keys=1)
+            q = qs[:CAP]
+
+            # Termination bound: when the dense loop exits at round r with
+            # cnt <= CAP, any still-unresolved chain has at most cnt
+            # positions of depth > 2^r above its resolved tail, so its
+            # remaining depth is <= CAP + 2^r hops; each chase step through
+            # the frozen table advances 2^r hops, giving <= CAP/2^r + 1
+            # <= 3073 steps for ANY valid stream (r >= 2). Real streams
+            # take a handful.
+            def chase_cond(cc):
+                _q, it, done = cc
+                return ~done & (it < 8192)
+
+            def chase_body(cc):
+                q1, it, _done = cc
+                q2 = _gather_out(s, q1)
+                return q2, it + 1, jnp.all(q2 == q1)
+
+            q, _, _ = jax.lax.while_loop(
+                chase_cond, chase_body, (q, jnp.int32(0), jnp.bool_(False)))
+            # Restore: the extraction rows are a permutation of all 64K
+            # positions; one position-keyed sort puts the chased values back.
+            allpos = ks & 0x1FFFF
+            allval = jnp.concatenate([q, qs[CAP:]], axis=-1)
+            s_new = jax.lax.sort((allpos, allval), num_keys=1)[1]
+            return jnp.bool_(True), jnp.int32(0), s_new, m
+
+        _, _, src, _ = jax.lax.while_loop(
+            sparse_cond, sparse_body, (jnp.bool_(False), cnt, src, mask))
         out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
     else:
         done = jnp.bool_(False)

@@ -89,7 +89,7 @@ def _window_keys(block: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
 
 
 def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
-                       flatten: str = "class"):
+                       flatten: str = "class", probes: int | None = None):
     """Previous positions with an identical 4-byte window, as offsets
     (0 = no candidate). key: _window_keys output. Sort-based rank-space
     matcher: after sorting (window, position) pairs, the k-th previous
@@ -97,14 +97,28 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     key equality — denser and collision-free vs. any SRAM hash table
     (HashTable.scala keeps one 512-entry column and loses every collision).
 
+    `probes` rank neighbors are probed, then deduped down to k-1 slots
+    (+ the flattening slot): runs of identical bytes make every position in
+    the run a previous occurrence, flooding the nearest ranks with the
+    consecutive-offset ladder 1,2,3,… whose members are RLE-redundant with
+    the smallest — dropping offsets equal to the previous probe + 1 frees
+    slots for *structurally distinct* repeat distances (e.g. the period of
+    a phrase whose body contains a byte run), which is what sticky chains
+    actually need to survive. Carrying 12 deduped slots matches the parse
+    quality of 16 raw ranks corpus-wide at 3/4 the restore-sort payload
+    and half the sticky membership cost.
+
     Returns the (N, k) sticky-candidate table: column 0 is the gated
-    chain-flattening choice (_flat_gate), columns 1..k-1 the k-1 nearest
-    occurrences; every entry is window-verified by the sort."""
+    chain-flattening choice (_flat_gate), columns 1..k-1 the deduped
+    occurrence slots; every entry is window-verified by the sort."""
+    r = max(probes or k, k)
+    if flatten == "off":
+        r = k  # legacy nearest-first table, no dedup
     w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
 
     rank = jnp.arange(N, dtype=jnp.int32)
     offs = []
-    for shift in range(1, k + 1):
+    for shift in range(1, r + 1):
         prev_w = jnp.roll(w_s, shift, axis=-1)
         prev_pos = jnp.roll(pos_s, shift, axis=-1)
         same = (w_s == prev_w) & (rank >= shift) & (prev_pos <= n - 4) & (pos_s <= n - 4)
@@ -143,7 +157,30 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
             flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
                              jnp.where(f1, first, m1),
                              jnp.where(first > 0, first, m2))
-        offs = offs[:k - 1] + [flat]
+        # Dedup-compact r ascending probes (valid entries are a prefix and
+        # strictly increasing) into k-1 slots. A position inside a byte run
+        # sees the contiguous offset ladder 1,2,…,m (every earlier run
+        # position is an occurrence); those are RLE-redundant with offset 1.
+        # Only that ladder is dropped — consecutive offsets NOT rooted at 1
+        # encode distinct phase alignments to an earlier structure (e.g.
+        # {14..21} around a 17-byte line period) and must survive, or
+        # period-spanning sticky chains break. One fused elementwise pass.
+        if r > k:
+            slots = [jnp.zeros(N, jnp.int32) for _ in range(k - 1)]
+            cnt = jnp.zeros(N, jnp.int32)
+            ladder = offs[0] == 1
+            for j in range(r):
+                kp = offs[j] > 0
+                if j > 0:
+                    step = offs[j] == offs[j - 1] + 1
+                    kp &= ~(ladder & step)
+                    ladder &= step
+                for m in range(k - 1):
+                    slots[m] = jnp.where(kp & (cnt == m), offs[j], slots[m])
+                cnt += kp.astype(jnp.int32)
+            offs = slots + [flat]
+        else:
+            offs = offs[:k - 1] + [flat]
 
     # Back to position space. A scatter would cost ~700us/block on TPU; the
     # TPU-native permutation scatter is a second sort keyed by position,
@@ -344,7 +381,8 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     key = _window_keys(block, n, iota)
-    cands = _candidate_offsets(key, n, iota, cfg.candidates, cfg.flatten)
+    cands = _candidate_offsets(key, n, iota, cfg.candidates, cfg.flatten,
+                               cfg.probes)
     if jax.devices()[0].platform == "tpu":
         # Fused VMEM-resident kernel (bit-identical to the XLA path below).
         from .pallas import matcher as pallas_matcher

@@ -78,25 +78,30 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("limbs",))
 def gather_block(x: jax.Array, idx: jax.Array, limbs: int = 2) -> jax.Array:
-    """y[p] = x[idx[p]] for one 64K block. x, idx: (65536,) int32; values
-    must fit 8*limbs bits (block positions need 2 limbs, bytes only 1 —
-    each limb costs one MXU pass)."""
+    """y[p] = x[idx[p]] for a 64K-entry table. x: (65536,) int32;
+    idx: (T,) int32 with T any multiple of 2048 (T < 65536 is the sparse
+    form: the full table stays resident, only T targets are gathered —
+    grid steps and one-hot work scale with T, so a 12K-target pass costs
+    ~T/N of the full pass). Values must fit 8*limbs bits (block positions
+    need 2 limbs, bytes only 1 — each limb costs one MXU pass)."""
+    t = idx.shape[-1]
+    assert t % (TR * TC) == 0, t
     xs = [((x >> (8 * (limbs - 1 - j))) & 0xFF).reshape(HI, LO)
           .astype(jnp.bfloat16) for j in range(limbs)]
-    idx2 = idx.reshape(N // TC, TC)
+    idx2 = idx.reshape(t // TC, TC)
     full = pl.BlockSpec((HI, LO), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _make_kernel(limbs),
-        grid=(N // (TR * TC),),
+        grid=(t // (TR * TC),),
         in_specs=[full] * limbs + [
             pl.BlockSpec((TR, TC), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TR, TC), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N // TC, TC), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t // TC, TC), jnp.int32),
         interpret=_interpret(),
     )(*xs, idx2)
-    return out.reshape(N)
+    return out.reshape(t)
 
 
 gather_blocks = jax.jit(jax.vmap(gather_block))
