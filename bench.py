@@ -100,6 +100,7 @@ def main():
     # Decode throughput on our own stream (same wave batching).
     total, start = fmt.varint_decode(comp)
     frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
+    frags = frags[:, : ops_decode.frag_width(clens)]
     nf = len(clens)
     nfw = -(-nf // WAVE)
     pad = nfw * WAVE - nf

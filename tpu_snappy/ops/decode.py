@@ -80,9 +80,11 @@ FRAG_CAP = 68 * 1024
 OUT = fmt.BLOCK_SIZE
 
 #: Sparse-resolve extraction width (hybrid path): the dense doubling loop
-#: runs until the moving set fits this many lanes. Swept on v5e (mtg):
-#: larger exits the dense loop a round earlier but chases longer.
-SPARSE_CAP = 12288
+#: runs until the moving set fits this many lanes. Swept on v5e (mtg,
+#: us/frag own/google streams): 8192 -> 1377/1264, 12288 -> 1365/1320,
+#: 16384 -> 1384/1369, 24576 -> 1539/1389 — chase cost grows faster than
+#: the saved dense rounds.
+SPARSE_CAP = 8192
 
 
 def _elem_fields(c: jax.Array):
@@ -432,9 +434,23 @@ def _scan_index_py(buf: np.ndarray, start: int, total: int, max_frags: int):
     return np.asarray(offs, np.int64), np.asarray(ulens, np.int64), len(offs)
 
 
+def frag_width(clens) -> int:
+    """Static fragment width for the jitted decoders: max compressed length
+    rounded up to an 8 KB bucket (few jit variants, shapes stay sort/
+    scatter-tile friendly). The transport scatter and the parse scans are
+    MAC/step-proportional in the fragment width, and text compresses 64 KB
+    to ~25 KB — running them at FRAG_CAP multiplies mostly zero padding.
+    Measured on v5e (us/frag, full -> sliced): mtg 1421 -> 1248, google-mtg
+    1294 -> 1130, repeating 676 -> 412 (8 KB width)."""
+    m = int(np.max(clens)) if len(clens) else 0
+    b = 8192
+    return int(min(max(b, -(-m // b) * b), FRAG_CAP))
+
+
 def decode_fragments(frags, clens, ulens, cfg: CodecConfig = DEFAULT_CONFIG):
-    return decode_fragments_jit(jnp.asarray(frags), jnp.asarray(clens),
-                                jnp.asarray(ulens))
+    w = frag_width(np.asarray(clens))
+    return decode_fragments_jit(jnp.asarray(frags[:, :w]),
+                                jnp.asarray(clens), jnp.asarray(ulens))
 
 
 @functools.partial(jax.jit,

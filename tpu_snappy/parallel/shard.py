@@ -93,6 +93,7 @@ def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     if total == 0:
         return b""
     frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
+    frags = frags[:, : ops_decode.frag_width(clens)]
     nfrag = len(clens)
     padded = pad_count(nfrag, mesh.devices.size)
     if padded != nfrag:
