@@ -402,3 +402,30 @@ def test_emit_kernel_stream_equivalence():
         out_e, tot_e = E.encode_blocks(blocks, lens, placement="emit")
         assert int(tot_s[0]) == int(tot_e[0])
         assert (np.asarray(out_s) == np.asarray(out_e)).all()
+
+
+def test_matcher_kernel_matches_xla():
+    """Fused matcher kernel (interpreted on CPU) vs encode._matcher_xla on
+    real corpus candidate tables — must be bit-identical (jump AND offset)."""
+    from tpu_snappy.ops import encode as E
+    from tpu_snappy.ops.pallas import matcher as M
+    from tpu_snappy.utils import corpus
+    import tpu_snappy.format as fmt
+    rng = np.random.default_rng(17)
+    datas = [b"The quick brown fox. " * 600,
+             b"ab" * 8000 + bytes(rng.integers(0, 256, 4000, "u1"))]
+    if corpus.has_reference_corpus():
+        datas.append(corpus.load("all-mtg-cards.txt")[:fmt.BLOCK_SIZE])
+        datas.append(corpus.load("alignerTestData.txt"))
+    iota = jnp.arange(fmt.BLOCK_SIZE, dtype=jnp.int32)
+    for data in datas:
+        n = min(len(data), fmt.BLOCK_SIZE)
+        buf = np.zeros(fmt.BLOCK_SIZE, np.uint8)
+        buf[:n] = np.frombuffer(data[:n], np.uint8)
+        block = jnp.asarray(buf)
+        key = E._window_keys(block, jnp.int32(n), iota)
+        cands = E._candidate_offsets(key, jnp.int32(n), iota, 16, "class")
+        jk, ok_ = M.matcher_block(cands, jnp.int32(n))
+        jx, ox = E._matcher_xla(cands, jnp.int32(n), iota)
+        assert (np.asarray(jk) == np.asarray(jx)).all()
+        assert (np.asarray(ok_) == np.asarray(ox)).all()

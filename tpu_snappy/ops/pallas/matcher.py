@@ -62,10 +62,13 @@ def _make_kernel(k: int):
             s = 4 << lvl
 
             def in_b(x):
-                hit = jnp.zeros((ROWS, LANES), jnp.bool_)
-                for kp in keeps:
-                    hit |= (x == kp) & (x > 0)
-                return hit
+                # (x == kp) & (x > 0) per keep would re-test x > 0 K times;
+                # hoisting it to one final mask cuts a third of the 17*K
+                # membership ops per level (identical truth table).
+                hit = x == keeps[0]
+                for kp in keeps[1:]:
+                    hit |= x == kp
+                return hit & (x > 0)
 
             # Window edge: below gidx=s there is no left context — the
             # composed transfer stays the current one (identity on its own
