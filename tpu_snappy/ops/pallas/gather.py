@@ -3,21 +3,27 @@
 TPU has no vector-gather hardware; XLA lowers a 64K-element dynamic gather
 to a ~700us scalar path — the single dominant cost of the decoder's copy-
 chain pointer doubling. The MXU *is* the TPU's gather engine: decompose the
-index as idx = hi*256 + lo, then
+index as idx = hi*LO + lo, then
 
-    W[t, h] = X2[h, lo[t]]   — one-hot(hi) contraction against X2 = x.reshape(256, 256)
-    y[t]    = W[t, lo[t]]    — one-hot(lo) masked lane sum on the VPU
+    W[t, :] = one-hot(hi[t]) @ X2      — row gather on the MXU
+    y[t]    = sum_l W[t, l]*onehot(lo) — lane select on the VPU
 
-MXU matmuls round f32 operands to bf16 (integers only exact to 256), so
-16-bit values are gathered as two 8-bit limbs — each limb matmul is exact
-(one-hot times values < 256, f32 accumulation) and runs at full bf16 MXU
-rate. Work is limbs * N * N/256 MACs per block, every intermediate in VMEM.
+MXU matmuls round f32 operands to bf16 (8-bit mantissa), so values are fed
+as PRE-SCALED 8-bit limb tables x & (0xFF << 8j): an 8-bit field times a
+power of two is bf16-exact, the per-limb row gathers accumulate in f32
+(exact below 2^24), and ONE lane select finishes the job — no per-limb
+select passes and no in-kernel limb recombination.
 
-Shape/dtype choices are measured (v5e, within one warm job, 8-block batch):
-f32 one-hots + (512, 128) split + 8-row tiles (the original form) 322
-us/block standalone; bf16 one-hots 259; (256, 256) split 246; 16-row tiles
-230 — net of the ~138 us/block standalone-dispatch floor that's ~2x. int8
-one-hot matmuls returned wrong values through Mosaic and were no faster.
+The kernel is VPU-bound on the one-hot builds + the select
+(cost/target ~ HI + 4*LO once the limb combine rides the MXU), which is
+kept square despite the op-count model preferring a taller split.
+Measured v5e history (us/block standalone, 8-block batch): f32 one-hots +
+per-limb selects + 8-row tiles 322; bf16 one-hots 259; (256,256) split
+246; 16-row tiles 230; 32-row tiles 229; pre-scaled limbs + fused select
+224 (the (512,128) re-split regressed to 258). int8 one-hot matmuls
+returned wrong values through Mosaic and were no faster. Decode e2e on
+mtg: 1306 -> 1154 us/frag across the fused-select + tile + limb-scaling
+batch.
 """
 
 from __future__ import annotations
@@ -31,8 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 N = 1 << 16
 HI = 256       # rows of the value matrix
-LO = 256       # columns of the value matrix
-TR, TC = 16, 128  # target tile: 16 x 128 = 2048 targets per grid step
+LO = 256       # columns of the value matrix ((512,128) re-split measured
+               # WORSE despite the op-count model: 258 vs 229 us/block)
+LO_BITS = 8
+TR, TC = 32, 128  # target tile: 32 x 128 = 4096 targets per grid step
+                  # (TR swept on v5e: 16 -> 235.3, 32 -> 228.9, 64 -> 231.3
+                  # us/block standalone, 128 OOMs scoped VMEM)
 
 
 def _make_kernel(limbs: int):
@@ -41,32 +51,27 @@ def _make_kernel(limbs: int):
         idx_ref, out_ref = refs[limbs], refs[limbs + 1]
         idx = idx_ref[:]
         lo = idx & (LO - 1)
-        hi = idx >> 8
+        hi = idx >> LO_BITS
 
-        # Row gather on the MXU (contract the HI-wide one-hot against the
-        # value matrix), then an LO-way lane select on the VPU. bf16
-        # one-hots: exact (0/1) and half the build/feed cost of f32.
+        # bf16 one-hots: exact (0/1) and half the build/feed cost of f32.
         hi_oh = (hi[:, :, None] ==
                  jax.lax.broadcasted_iota(jnp.int32, (TR, TC, HI), 2)
                  ).astype(jnp.bfloat16)
         lo_oh = (lo[:, :, None] ==
                  jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
-                 ).astype(jnp.bfloat16)
+                 ).astype(jnp.float32)
 
-        def limb(x_ref):
-            # Mosaic requires a 32-bit matmul accumulator, so z stays f32;
-            # the lo one-hot rides bf16 (exact 0/1, half the build traffic)
-            # and upcasts in-register at the select.
+        # Row gathers accumulate the pre-scaled limbs on the MXU/f32 side
+        # (Mosaic requires a 32-bit matmul accumulator); values < 2^24
+        # keep the sum exact. One lane select finishes.
+        zc = None
+        for x_ref in x_refs:
             z = jax.lax.dot_general(
                 hi_oh, x_ref[:],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (TR, TC, LO)
-            return jnp.sum(z * lo_oh.astype(jnp.float32), axis=2)
-
-        res = limb(x_refs[0]).astype(jnp.int32)
-        for j in range(1, limbs):
-            res = (res << 8) | limb(x_refs[j]).astype(jnp.int32)
-        out_ref[:] = res
+            zc = z if zc is None else zc + z
+        out_ref[:] = jnp.sum(zc * lo_oh, axis=2).astype(jnp.int32)
 
     return kernel
 
@@ -79,14 +84,15 @@ def _interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("limbs",))
 def gather_block(x: jax.Array, idx: jax.Array, limbs: int = 2) -> jax.Array:
     """y[p] = x[idx[p]] for a 64K-entry table. x: (65536,) int32;
-    idx: (T,) int32 with T any multiple of 2048 (T < 65536 is the sparse
+    idx: (T,) int32 with T any multiple of 4096 (T < 65536 is the sparse
     form: the full table stays resident, only T targets are gathered —
-    grid steps and one-hot work scale with T, so a 12K-target pass costs
-    ~T/N of the full pass). Values must fit 8*limbs bits (block positions
-    need 2 limbs, bytes only 1 — each limb costs one MXU pass)."""
+    grid steps and one-hot work scale with T). Values must fit 8*limbs
+    bits and limbs <= 3 (the f32 limb accumulation is exact below 2^24;
+    block positions need 2 limbs, bytes only 1)."""
+    assert limbs <= 3, limbs
     t = idx.shape[-1]
     assert t % (TR * TC) == 0, t
-    xs = [((x >> (8 * (limbs - 1 - j))) & 0xFF).reshape(HI, LO)
+    xs = [(x & (0xFF << (8 * (limbs - 1 - j)))).reshape(HI, LO)
           .astype(jnp.bfloat16) for j in range(limbs)]
     idx2 = idx.reshape(t // TC, TC)
     full = pl.BlockSpec((HI, LO), lambda i: (0, 0), memory_space=pltpu.VMEM)
