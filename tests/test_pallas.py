@@ -392,6 +392,12 @@ def test_emit_kernel_stream_equivalence():
              b"ab" * 8000]                               # RLE copies
     if corpus.has_reference_corpus():
         datas.append(corpus.load("all-mtg-cards.txt")[:fmt.BLOCK_SIZE])
+    # far-copy + long-literal interleavings exercise the single-lane
+    # overflow/head machinery (runs > 60 and > 256, block-opening literal)
+    unit = bytes(rng.integers(0, 256, 300, "u1"))
+    datas.append(unit + bytes(rng.integers(0, 256, 500, "u1"))
+                 + unit + bytes(rng.integers(0, 256, 2000, "u1")) + unit)
+    datas.append(b"z" * 70 + unit + b"z" * 70 + unit[:64])
     for data in datas:
         n = min(len(data), fmt.BLOCK_SIZE)
         buf = np.zeros(fmt.BLOCK_SIZE, np.uint8)
@@ -399,9 +405,10 @@ def test_emit_kernel_stream_equivalence():
         blocks = jnp.asarray(buf)[None]
         lens = jnp.full((1,), n, jnp.int32)
         out_s, tot_s = E.encode_blocks(blocks, lens, placement="sort")
-        out_e, tot_e = E.encode_blocks(blocks, lens, placement="emit")
-        assert int(tot_s[0]) == int(tot_e[0])
-        assert (np.asarray(out_s) == np.asarray(out_e)).all()
+        for mode in ("emit", "single"):
+            out_e, tot_e = E.encode_blocks(blocks, lens, placement=mode)
+            assert int(tot_s[0]) == int(tot_e[0]), mode
+            assert (np.asarray(out_s) == np.asarray(out_e)).all(), mode
 
 
 def test_matcher_kernel_matches_xla():

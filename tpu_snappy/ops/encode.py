@@ -369,9 +369,10 @@ def encode_block(block: jax.Array, n: jax.Array,
     """Encode one 64 KB block.
 
     block: (65536,) uint8 (zero-padded past n); n: scalar int32.
-    placement: emission strategy — "auto" (fused emit kernel + placement
-    sort on TPU, XLA lanes + sort elsewhere), "emit" (force the emit
-    kernel), "sort" (XLA lanes + sort), or "kernel" (XLA lanes + windowed
+    placement: emission strategy — "auto" (single-lane emit kernel +
+    N+1408-entry placement sort on TPU, XLA lanes + 2N sort elsewhere),
+    "single" (force single-lane), "emit" (two-lane emit kernel + 2N sort),
+    "sort" (XLA lanes + 2N sort), or "kernel" (XLA lanes + windowed
     placement kernel); all produce the identical stream.
     Returns (out, out_len): out is (block_capacity,) uint8 of raw Snappy
     elements (no stream preamble), valid up to out_len.
@@ -399,7 +400,30 @@ def encode_block(block: jax.Array, n: jax.Array,
     is_lit = committed & ~is_copy
 
     # --- EMIT ---
-    if placement == "emit" or (on_tpu and placement == "auto"):
+    if placement == "single" or (on_tpu and placement == "auto"):
+        # Single-lane emission (ops/pallas/emit.py:_single_kernel): one
+        # (dest << 8 | byte) entry per position + two sparse overflow
+        # arrays compacted by collision-free reshape-max — the placement
+        # sort shrinks from 2N to N + 1408 entries. Bit-identical stream.
+        from .pallas import emit as pallas_emit
+        cjv = jnp.where(committed, jump, -1)
+        pm, pa, pb, head, total = pallas_emit.emit_block_single(
+            cjv, off, block, n)
+        sentp = jnp.uint32(pallas_emit.SENT) << 8
+        ovf_a = jnp.max(pa.reshape(256, 256), axis=-1)
+        ovf_b = jnp.max(pb.reshape(1024, 64), axis=-1)
+        pack = jnp.concatenate([
+            pm,
+            jnp.where(ovf_a == 0, sentp, ovf_a),
+            jnp.where(ovf_b == 0, sentp, ovf_b),
+            head,
+            jnp.full((cap - N - 256 - 1024 - 128,), sentp),
+        ], axis=-1)  # sentinel-padded to exactly `cap` entries
+        out = (jnp.sort(pack, axis=-1) & 0xFF).astype(jnp.uint8)[..., :cap]
+        out = jnp.where(jnp.arange(cap) < total, out, 0)
+        return out, total
+
+    if placement == "emit":
         # Fused emission kernel (ops/pallas/emit.py): element detection,
         # run lengths, offsets, tag bytes, and both placement lanes in one
         # VMEM pass, bit-identical to the XLA expressions below. Only the

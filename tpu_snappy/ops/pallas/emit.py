@@ -175,3 +175,154 @@ def emit_block(cj: jax.Array, off: jax.Array, block: jax.Array,
     )(cj.reshape(ROWS, LANES), off.reshape(ROWS, LANES),
       block.reshape(ROWS, LANES), jnp.reshape(n, (1, 1)).astype(jnp.int32))
     return pa.reshape(N), pb.reshape(N), tot[0, 0]
+
+
+def _single_kernel(cj_ref, off_ref, b_ref, n_ref, pm_ref, pa_ref, pb_ref,
+                   head_ref, tot_ref):
+    """Single-lane emission: ONE (dest << 8 | byte) entry per input position
+    plus two sparse overflow arrays, so the placement sort shrinks from 2N
+    to N + 1408 entries.
+
+    Byte-to-position assignment (provably conflict-free for ANY committed
+    parse with jumps in [1, 64] — no reliance on the profitability filter):
+
+      * literal payload rides its own position (dest advances by 1);
+      * a copy's 2-3 header bytes ride its own first positions (span >= 4);
+      * a literal run's 1-byte tag rides position s-1 — always the last
+        position of the preceding copy, which its own header (<= 3 bytes
+        over >= 4 positions) never occupies;
+      * a literal run's 2nd/3rd header bytes (runs > 60 / > 256 bytes,
+        where s-2/s-3 may be header-occupied) go to the overflow arrays,
+        nonzero only at run starts. Runs > 60 start > 64 apart and runs
+        > 256 start > 260 apart, so slots s>>6 / s>>8 are collision-free
+        and an XLA reshape-max compacts each array without any scatter;
+      * a block-opening literal's tag (no s-1 exists) lands in `head`.
+    """
+    n = n_ref[0, 0]
+    cj = cj_ref[:]
+    off = off_ref[:]
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, cj.shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, cj.shape, 1))
+
+    is_copy = cj >= 4
+    is_lit = (cj >= 0) & (cj < 4)
+    prev_lit = jnp.where(gidx >= 1, _rollf(is_lit.astype(jnp.int32), 1), 0)
+    lit_start = is_lit & (prev_lit == 0)
+    elem = is_copy | lit_start
+    elem_i = elem.astype(jnp.int32)
+
+    eidx = jnp.where(elem, gidx, N)
+    sm = eidx
+    for lvl in range(17):
+        s = 1 << lvl
+        sm = jnp.minimum(sm, jnp.where(gidx < N - s, _rollb(sm, s), N))
+    run_end = jnp.minimum(jnp.where(gidx < N - 1, _rollb(sm, 1), N), n)
+    lit_len = jnp.maximum(run_end - gidx, 1)
+
+    cpy_len = cj
+    copy_small = (cpy_len <= fmt.COPY1_MAX_LEN) & (off < fmt.COPY1_MAX_OFFSET)
+    copy_sz = jnp.where(copy_small, 2, 3)
+    lit_hdr = jnp.where(lit_len <= 60, 1, jnp.where(lit_len <= 256, 2, 3))
+    esz = jnp.where(elem, jnp.where(is_copy, copy_sz, lit_hdr + lit_len), 0)
+
+    inc = esz
+    for lvl in range(17):
+        s = 1 << lvl
+        inc = inc + jnp.where(gidx >= s, _rollf(inc, s), 0)
+    out_off = inc - esz
+    total = jnp.max(inc)
+
+    n1 = lit_len - 1
+    lt0 = jnp.where(lit_len <= 60, n1 << 2,
+                    jnp.where(lit_len <= 256, 60 << 2, 61 << 2))
+    ct0 = jnp.where(
+        copy_small,
+        1 | ((cpy_len - 4) << 2) | ((off >> 8) << 5),
+        2 | ((cpy_len - 1) << 2))
+    t1 = jnp.where(is_copy, off, n1) & 0xFF
+    t2 = (jnp.where(is_copy, off, n1) >> 8) & 0xFF
+
+    def rollz(x, s):
+        return jnp.where(gidx >= s, _rollf(x, s), 0)
+
+    def rollbz(x, s):
+        return jnp.where(gidx < N - s, _rollb(x, s), 0)
+
+    # Literal payload base ffill (dest = run base + position).
+    m = lit_start.astype(jnp.int32)
+    v = out_off + lit_hdr - gidx
+    for lvl in range(17):
+        s = 1 << lvl
+        ms = jnp.where(gidx >= s, _rollf(m, s), 0)
+        take = ((1 - m) * ms) == 1
+        v = jnp.where(take, _rollf(v, s), v)
+        m = jnp.maximum(m, ms)
+    payload_dst = v + gidx
+
+    ic = is_copy.astype(jnp.int32)
+    c1 = rollz(ic, 1) == 1                       # copy's 2nd header byte
+    c2v = (rollz(ic, 2) == 1) & (rollz(copy_sz, 2) == 3)  # copy's 3rd
+    ls_i = lit_start.astype(jnp.int32)
+    lt0c = rollbz(ls_i, 1) == 1                  # next run's tag rides here
+
+    md = jnp.where(is_lit, payload_dst,
+         jnp.where(is_copy, out_off,
+         jnp.where(c1, rollz(out_off, 1) + 1,
+         jnp.where(c2v, rollz(out_off, 2) + 2,
+         jnp.where(lt0c, rollbz(out_off, 1), SENT)))))
+    mv = jnp.where(is_lit, b_ref[:].astype(jnp.int32),
+         jnp.where(is_copy, ct0,
+         jnp.where(c1, rollz(t1, 1),
+         jnp.where(c2v, rollz(t2, 2),
+         jnp.where(lt0c, rollbz(lt0, 1), 0)))))
+    pm_ref[:] = (md.astype(jnp.uint32) << 8) | (mv & 0xFF).astype(jnp.uint32)
+
+    # Sparse overflow arrays (nonzero only at qualifying run starts; their
+    # packs are >= 256 so an XLA reshape-max compacts them collision-free).
+    ovf_b = lit_start & (lit_hdr >= 2)
+    pa = jnp.where(lit_start & (lit_hdr == 3),
+                   ((out_off + 2).astype(jnp.uint32) << 8)
+                   | (t2 & 0xFF).astype(jnp.uint32), 0)
+    pb = jnp.where(ovf_b,
+                   ((out_off + 1).astype(jnp.uint32) << 8)
+                   | (t1 & 0xFF).astype(jnp.uint32), 0)
+    pa_ref[:] = pa
+    pb_ref[:] = pb
+
+    # Block-opening literal tag (dest 0); SENT-packed otherwise.
+    first_lit = jnp.sum(jnp.where(gidx == 0, lit_start.astype(jnp.int32), 0))
+    head = jnp.sum(jnp.where(gidx == 0, lt0, 0)) & 0xFF
+    head_pack = jnp.where(first_lit == 1, head.astype(jnp.uint32),
+                          jnp.uint32(SENT) << 8)
+    head_ref[:] = jnp.full((8, LANES), jnp.uint32(SENT) << 8)
+    lane0 = (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0) == 0) & \
+            (jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1) == 0)
+    head_ref[:] = jnp.where(lane0, head_pack, jnp.uint32(SENT) << 8)
+    tot_ref[:] = jnp.full((8, LANES), total, jnp.int32)
+
+
+@jax.jit
+def emit_block_single(cj: jax.Array, off: jax.Array, block: jax.Array,
+                      n: jax.Array):
+    """Single-lane emission (see _single_kernel). Returns
+    (pack_main (65536,) u32, ovf_a (65536,) u32 sparse, ovf_b (65536,) u32
+    sparse, head (128,) u32, total) — the caller reshape-max-compacts the
+    overflow arrays to 256 + 1024 slots and sorts N + 1408 entries."""
+    full = pl.BlockSpec((ROWS, LANES), lambda: (0, 0),
+                        memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((8, LANES), lambda: (0, 0), memory_space=pltpu.VMEM)
+    pm, pa, pb, head, tot = pl.pallas_call(
+        _single_kernel,
+        in_specs=[full, full, full,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[full, full, full, small, small],
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((ROWS, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((ROWS, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+                   jax.ShapeDtypeStruct((8, LANES), jnp.int32)],
+        interpret=_interpret(),
+    )(cj.reshape(ROWS, LANES), off.reshape(ROWS, LANES),
+      block.reshape(ROWS, LANES), jnp.reshape(n, (1, 1)).astype(jnp.int32))
+    return (pm.reshape(N), pa.reshape(N), pb.reshape(N), head[0],
+            tot[0, 0])
