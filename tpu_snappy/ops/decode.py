@@ -169,31 +169,34 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     ok &= ~jnp.any(bad_copy)
 
     # --- TRANSPORT: one fused scatter (compressed -> output space) ---
-    # Literal payload bytes ride bits 0-7; packed element descriptors
-    # (offset:17 | is_lit:1 | mark:1) ride bits 8-26 at their element's
-    # output start. A tag source and a payload source can target the SAME
-    # cell (a literal's first payload byte lands at its element's opos),
-    # but they occupy disjoint bit ranges, so the scatter kernel's
-    # duplicate-sum semantics compose them exactly — one one-hot build
-    # (the kernel's dominant cost) instead of two.
+    # Literal payload bytes ride bits 0-7; the element descriptor rides
+    # bits 8-24 at its element's output start, encoded as
+    # `1` for a literal run and `offset + 1` for a copy — the cell value
+    # tops out at exactly 2^24 (offset 65535 copies), which the scatter's
+    # 256-valued top limb covers, so THREE 8-bit limb passes suffice
+    # instead of four (the scatter kernel is MAC-proportional in limbs).
+    # A tag source and a payload source can target the SAME cell (a
+    # literal's first payload byte lands at its element's opos), but they
+    # occupy disjoint bit ranges, so the duplicate-sum semantics compose
+    # them exactly — one one-hot build instead of two.
     estart, eopos, ehdr, eislit = _ffill(
         tags, (iota, opos, hdr, is_lit.astype(jnp.int32)))
     is_payload = (eislit == 1) & (iota >= estart + ehdr) & (iota < clen)
     out_q = eopos + iota - estart - ehdr
     dump = OUT
-    desc = (jnp.where(is_lit, 0, off) << 2) | (is_lit.astype(jnp.int32) << 1) | 1
+    desc = jnp.where(is_lit, 1, jnp.clip(off, 0, OUT - 1) + 1)
     mdst = jnp.where(tags, jnp.minimum(opos, OUT),
                      jnp.where(is_payload, jnp.clip(out_q, 0, OUT), dump))
     mval = jnp.where(tags, desc << 8, c.astype(jnp.int32))
-    merged = _scatter_out(mdst, mval, limbs=4)
+    merged = _scatter_out(mdst, mval, limbs=3)
     lit_out = merged & 0xFF
     o_desc = merged >> 8
 
     # --- RESOLVE: copy chains over output space ---
     oiota = jnp.arange(OUT, dtype=jnp.int32)
     desc_f = _ffill(o_desc != 0, (o_desc,))[0]
-    lit_f = (desc_f & 2) != 0
-    off_f = desc_f >> 2
+    lit_f = desc_f == 1
+    off_f = jnp.maximum(desc_f - 1, 0)
 
     # Periodic-run collapse (exact): maximal runs of contiguous copy
     # elements sharing one offset satisfy out[j] = out[j - off] throughout,

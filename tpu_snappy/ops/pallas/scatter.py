@@ -75,12 +75,19 @@ def scatter_block(dest: jax.Array, values: jax.Array, limbs: int = 2) -> jax.Arr
     """out[dest[p]] = values[p] over a 64K output block; unwritten cells 0.
 
     dest: (M,) int32 in [0, 65536] (65536 == drop), M a multiple of 1024.
-    values: (M,) int32, < 2^(8*limbs). Destinations must be unique
-    (duplicate writes SUM).
+    values: (M,) int32, <= 2^(8*limbs) inclusive (the top limb may reach
+    256 — still bf16-exact). Destinations must be unique (duplicate writes
+    SUM).
     """
     m = dest.shape[-1]
     d2 = dest.reshape(m // TC, TC)
-    vs = [((values >> (8 * (limbs - 1 - j))) & 0xFF)
+    # The top limb is left unmasked: any value <= 256 is bf16-exact (256 is
+    # a power of two), so `values` may reach 2^(8*limbs) INCLUSIVE — the
+    # decode transport uses exactly that headroom to fit its packed
+    # descriptor+byte cell in 3 limbs instead of 4 (the kernel is MAC-bound
+    # in limbs * HI * LO * M).
+    vs = [(values >> (8 * (limbs - 1)) if j == 0
+           else (values >> (8 * (limbs - 1 - j))) & 0xFF)
           .reshape(m // TC, TC).astype(jnp.float32) for j in range(limbs)]
     tile = pl.BlockSpec((TR, TC), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
