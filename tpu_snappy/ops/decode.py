@@ -265,8 +265,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         # every chase step advances 2^dense_rounds hops), and restore with
         # one more sort. Streams that resolve in <= 2 rounds (random;
         # repeating after run collapse) never enter the sparse while-loop.
-        CAP = SPARSE_CAP  # lanes; must be a multiple of gather tiles (2048)
-        oiota_ = oiota
+        CAP = SPARSE_CAP  # lanes; multiple of gather tiles (4096) and 256
 
         def dense_cond(c):
             _s, _m, cnt, it = c
@@ -291,7 +290,11 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             # Unresolved-first extraction. `m` (moved last round) is a
             # sound over-approximation of "not yet at a literal": a lane
             # that did not move had a fixpoint (= literal) source already.
-            key = jnp.where(m, oiota_, oiota_ + (1 << 17))
+            # (A rank-scatter extract + rank-gather restore was A/B'd
+            # against these two sorts and measured slightly WORSE — 1142
+            # vs 1124 us/frag on mtg: the small-output scatter's per-row
+            # loop overhead outweighs its MAC savings. Sorts stay.)
+            key = jnp.where(m, oiota, oiota + (1 << 17))
             ks, qs = jax.lax.sort((key, s), num_keys=1)
             q = qs[:CAP]
 

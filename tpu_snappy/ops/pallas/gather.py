@@ -45,7 +45,7 @@ TR, TC = 32, 128  # target tile: 32 x 128 = 4096 targets per grid step
                   # us/block standalone, 128 OOMs scoped VMEM)
 
 
-def _make_kernel(limbs: int):
+def _make_kernel(limbs: int, hi_n: int):
     def kernel(*refs):
         x_refs = refs[:limbs]
         idx_ref, out_ref = refs[limbs], refs[limbs + 1]
@@ -55,7 +55,7 @@ def _make_kernel(limbs: int):
 
         # bf16 one-hots: exact (0/1) and half the build/feed cost of f32.
         hi_oh = (hi[:, :, None] ==
-                 jax.lax.broadcasted_iota(jnp.int32, (TR, TC, HI), 2)
+                 jax.lax.broadcasted_iota(jnp.int32, (TR, TC, hi_n), 2)
                  ).astype(jnp.bfloat16)
         lo_oh = (lo[:, :, None] ==
                  jax.lax.broadcasted_iota(jnp.int32, (TR, TC, LO), 2)
@@ -83,21 +83,25 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("limbs",))
 def gather_block(x: jax.Array, idx: jax.Array, limbs: int = 2) -> jax.Array:
-    """y[p] = x[idx[p]] for a 64K-entry table. x: (65536,) int32;
-    idx: (T,) int32 with T any multiple of 4096 (T < 65536 is the sparse
-    form: the full table stays resident, only T targets are gathered —
-    grid steps and one-hot work scale with T). Values must fit 8*limbs
-    bits and limbs <= 3 (the f32 limb accumulation is exact below 2^24;
-    block positions need 2 limbs, bytes only 1)."""
+    """y[p] = x[idx[p]]. x: (S,) int32 table, S a multiple of 4096 (the
+    one-hot row count scales with S, so small tables — e.g. the sparse
+    resolve's chase results — gather cheaply); idx: (T,) int32 with T any
+    multiple of 4096 (T < S is the sparse-target form: the table stays
+    resident, only T targets are gathered). Values must fit 8*limbs bits
+    and limbs <= 3 (the f32 limb accumulation is exact below 2^24; block
+    positions need 2 limbs, bytes only 1)."""
     assert limbs <= 3, limbs
     t = idx.shape[-1]
+    s = x.shape[-1]
+    hi_n = s // LO
     assert t % (TR * TC) == 0, t
-    xs = [(x & (0xFF << (8 * (limbs - 1 - j)))).reshape(HI, LO)
+    assert s % LO == 0, s
+    xs = [(x & (0xFF << (8 * (limbs - 1 - j)))).reshape(hi_n, LO)
           .astype(jnp.bfloat16) for j in range(limbs)]
     idx2 = idx.reshape(t // TC, TC)
-    full = pl.BlockSpec((HI, LO), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((hi_n, LO), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_kernel(limbs),
+        _make_kernel(limbs, hi_n),
         grid=(t // (TR * TC),),
         in_specs=[full] * limbs + [
             pl.BlockSpec((TR, TC), lambda i: (i, 0), memory_space=pltpu.VMEM),

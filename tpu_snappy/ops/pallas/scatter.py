@@ -27,7 +27,7 @@ LO = 128
 TR, TC = 8, 128  # sources per grid step
 
 
-def _make_kernel(limbs: int):
+def _make_kernel(limbs: int, hi_n: int):
     def kernel(dest_ref, *rest):
         v_refs = rest[:limbs]
         out_ref = rest[limbs]
@@ -39,15 +39,15 @@ def _make_kernel(limbs: int):
 
         dest = dest_ref[:]
         lo = dest & (LO - 1)
-        hi = dest >> 7  # 512 for dropped writes: matches no one-hot row
+        hi = dest >> 7  # >= hi_n for dropped writes: matches no row
 
         # Mosaic requires a single contracting dim, so process the tile one
         # 128-wide row at a time: one-hots are built directly in (out_dim,
         # source) orientation and contract over the 128 sources per row.
-        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (HI, TC), 0)
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (hi_n, TC), 0)
         lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LO, TC), 0)
         for r in range(TR):
-            hi_oh = (hi[r:r + 1, :] == hi_iota).astype(jnp.float32)  # (HI, TC)
+            hi_oh = (hi[r:r + 1, :] == hi_iota).astype(jnp.float32)
             lo_oh = (lo[r:r + 1, :] == lo_iota).astype(jnp.float32)  # (LO, TC)
             for j in range(limbs):
                 lov = lo_oh * v_refs[j][r:r + 1, :]
@@ -70,16 +70,22 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("limbs",))
-def scatter_block(dest: jax.Array, values: jax.Array, limbs: int = 2) -> jax.Array:
-    """out[dest[p]] = values[p] over a 64K output block; unwritten cells 0.
+@functools.partial(jax.jit, static_argnames=("limbs", "out_cells"))
+def scatter_block(dest: jax.Array, values: jax.Array, limbs: int = 2,
+                  out_cells: int = N) -> jax.Array:
+    """out[dest[p]] = values[p] over `out_cells` output cells (a multiple
+    of 128; default one 64K block); unwritten cells 0. The one-hot/matmul
+    work scales with out_cells, so small outputs (e.g. the sparse
+    resolve's rank compaction) scatter cheaply.
 
-    dest: (M,) int32 in [0, 65536] (65536 == drop), M a multiple of 1024.
+    dest: (M,) int32 in [0, out_cells] (out_cells == drop), M a multiple
+    of 1024.
     values: (M,) int32, <= 2^(8*limbs) inclusive (the top limb may reach
     256 — still bf16-exact). Destinations must be unique (duplicate writes
     SUM).
     """
     m = dest.shape[-1]
+    hi_n = out_cells // LO
     d2 = dest.reshape(m // TC, TC)
     # The top limb is left unmasked: any value <= 256 is bf16-exact (256 is
     # a power of two), so `values` may reach 2^(8*limbs) INCLUSIVE — the
@@ -91,13 +97,13 @@ def scatter_block(dest: jax.Array, values: jax.Array, limbs: int = 2) -> jax.Arr
           .reshape(m // TC, TC).astype(jnp.float32) for j in range(limbs)]
     tile = pl.BlockSpec((TR, TC), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_kernel(limbs),
+        _make_kernel(limbs, hi_n),
         grid=(m // (TR * TC),),
         in_specs=[tile] * (1 + limbs),
-        out_specs=pl.BlockSpec((HI, LO), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((hi_n, LO), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((HI, LO), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((limbs, HI, LO), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((hi_n, LO), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((limbs, hi_n, LO), jnp.float32)],
         interpret=_interpret(),
     )(d2, *vs)
-    return out.reshape(N)
+    return out.reshape(out_cells)
