@@ -32,12 +32,13 @@ class CodecConfig:
 
     #: Number of candidate slots carried per position through the restore
     #: sort and the sticky scan (restore payload = candidates/2 u32 words;
-    #: sticky membership cost ~ candidates^2). 16 reaches software-Snappy
-    #: ratio parity on every corpus class incl. low-entropy hex dumps
-    #: (alignerTestData); lower trades ratio for encode speed (K=12 is
-    #: ~10% faster encode and loses only the tiny alignerTestData file,
-    #: +16 B over golden — see the dedup note below).
-    candidates: int = 16
+    #: sticky membership cost ~ candidates^2). 14 is the swept sweet spot:
+    #: it clears the software-Snappy ratio bar on every corpus class incl.
+    #: low-entropy hex dumps (alignerTestData -2 B vs golden; full corpus
+    #: +mtg aggregate 3.1% under golden vs 3.7% at 16) at one less restore
+    #: payload word and 23% less membership work. K=12 additionally loses
+    #: only alignerTestData (+16 B) — see the dedup note below.
+    candidates: int = 14
 
     #: Number of rank-space sort neighbors probed per position. When
     #: probes > candidates, the probed ascending offsets are dedup-compacted
@@ -51,7 +52,7 @@ class CodecConfig:
     #: cover it, but costs more in sticky composition than it saves in the
     #: restore sort). Default equal to `candidates` = no dedup, bit-exact
     #: legacy table.
-    probes: int = 16
+    probes: int = 14
 
     #: Segment size for the bounded-state commit scan. Must equal
     #: MAX_COPY_LEN: the scan state (distance to next committed position)
