@@ -317,10 +317,13 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             q, _, _ = jax.lax.while_loop(
                 chase_cond, chase_body, (q, jnp.int32(0), jnp.bool_(False)))
             # Restore: the extraction rows are a permutation of all 64K
-            # positions; one position-keyed sort puts the chased values back.
-            allpos = ks & 0x1FFFF
+            # positions; one position-keyed sort puts the chased values
+            # back. Position (16 bits) and value (16 bits) pack into one
+            # u32 operand — a 1-operand sort beats the 2-operand form.
+            allpos = (ks & 0xFFFF).astype(jnp.uint32)
             allval = jnp.concatenate([q, qs[CAP:]], axis=-1)
-            s_new = jax.lax.sort((allpos, allval), num_keys=1)[1]
+            packed = (allpos << 16) | allval.astype(jnp.uint32)
+            s_new = (jnp.sort(packed, axis=-1) & 0xFFFF).astype(jnp.int32)
             return jnp.bool_(True), jnp.int32(0), s_new, m
 
         _, _, src, _ = jax.lax.while_loop(
