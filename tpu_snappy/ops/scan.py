@@ -237,7 +237,9 @@ def committed_from_entries(jump: jax.Array, entry: jax.Array) -> jax.Array:
         com = d == 0
         return jnp.where(com, j, d) - 1, com
 
-    _, flags = jax.lax.scan(step, entry, cols)
+    # unroll: same rationale as the entry scan above — each step is tiny,
+    # loop bookkeeping dominates (A/B'd on v5e within one job).
+    _, flags = jax.lax.scan(step, entry, cols, unroll=4)
     return jnp.moveaxis(flags, 0, -1).reshape(jump.shape)
 
 
