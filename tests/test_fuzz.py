@@ -57,3 +57,48 @@ def test_roundtrip_random_seeds(seed, n):
     comp = api.compress(data)
     assert golden.uncompress(comp) == data
     assert len(comp) <= len(data) + 8
+
+
+@settings(max_examples=12, deadline=None)
+@given(structured_bytes())
+def test_emission_modes_identical_fuzz(data):
+    # The TPU-default single-lane emission (and the two-lane emit kernel,
+    # interpreted here) must produce the byte-identical stream to the
+    # reference sort placement on arbitrary structures — the conflict-free
+    # byte-to-position assignment proof, exercised.
+    import jax.numpy as jnp
+    from tpu_snappy import format as fmt
+    from tpu_snappy.ops import encode as E
+    n = min(len(data), fmt.BLOCK_SIZE)
+    buf = np.zeros(fmt.BLOCK_SIZE, np.uint8)
+    buf[:n] = np.frombuffer(data[:n], np.uint8)
+    blocks = jnp.asarray(buf)[None]
+    lens = jnp.full((1,), n, jnp.int32)
+    out_s, tot_s = E.encode_blocks(blocks, lens, placement="sort")
+    for mode in ("single", "emit"):
+        out_m, tot_m = E.encode_blocks(blocks, lens, placement=mode)
+        assert int(tot_s[0]) == int(tot_m[0]), mode
+        assert (np.asarray(out_s) == np.asarray(out_m)).all(), mode
+
+
+@settings(max_examples=12, deadline=None)
+@given(structured_bytes())
+def test_resolve_modes_roundtrip_fuzz(data):
+    # Every resolve strategy (incl. the hybrid default's sparse chase)
+    # must decode arbitrary structures bit-exactly.
+    import jax.numpy as jnp
+    from tpu_snappy import format as fmt
+    from tpu_snappy.ops import decode as D
+    comp = ref.compress(data)
+    total, start = fmt.varint_decode(comp)
+    if total == 0:
+        return
+    frags, clens, ulens = D.fragment_table(comp, start, total)
+    for resolve in ("plain", "hybrid"):
+        out, ok = D.decode_fragments_jit(
+            jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
+            resolve=resolve)
+        assert np.asarray(ok).all()
+        got = b"".join(np.asarray(out[i, :ulens[i]]).tobytes()
+                       for i in range(len(ulens)))
+        assert got == data, resolve
