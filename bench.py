@@ -23,10 +23,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-#: Blocks per device batch: keeps single-compile graphs small enough for the
-#: tunnel's remote-compile service (a 48-block graph can take >10 min there)
-#: while the whole corpus runs as several dispatches of the same executable.
-WAVE = 8
+#: Blocks/fragments per vmapped wave inside the single-dispatch corpus
+#: programs. Swept on v5e: encode B=16 is 21% faster per block than B=8
+#: (541 vs 674 us/block same-job; B>=24 fails remote compile on matcher
+#: VMEM), decode improves through B=24 (1060/1022/994 at 16/24/32 — 24 is
+#: the largest divisor of the 48-fragment corpus, padding a wave with
+#: zero fragments costs full-lane work).
+ENC_WAVE = 16
+DEC_WAVE = 24
 
 
 def main():
@@ -49,8 +53,8 @@ def main():
     data = corpus.load("all-mtg-cards.txt")
     n = len(data)
     nblocks = -(-n // fmt.BLOCK_SIZE)
-    nwaves = -(-nblocks // WAVE)
-    arr, lengths, _ = shard.blocks_of(data, fmt.BLOCK_SIZE, nwaves * WAVE)
+    nwaves = -(-nblocks // ENC_WAVE)
+    arr, lengths, _ = shard.blocks_of(data, fmt.BLOCK_SIZE, nwaves * ENC_WAVE)
 
     blocks_d = jax.device_put(arr)
     lens_d = jax.device_put(lengths)
@@ -60,7 +64,7 @@ def main():
     # dispatch fixed cost (~1.1 ms on the tunneled dev chip) is paid once
     # per pass instead of once per wave.
     enc = jax.jit(lambda b, l: ops_encode.encode_corpus(
-        b, l, DEFAULT_CONFIG, wave=WAVE))
+        b, l, DEFAULT_CONFIG, wave=ENC_WAVE))
 
     # Warmup/compile, and correctness capture.
     t0 = time.time()
@@ -108,12 +112,12 @@ def main():
     frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
     frags = frags[:, : ops_decode.frag_width(clens)]
     nf = len(clens)
-    nfw = -(-nf // WAVE)
-    pad = nfw * WAVE - nf
+    nfw = -(-nf // DEC_WAVE)
+    pad = nfw * DEC_WAVE - nf
     frags = np.pad(frags, ((0, pad), (0, 0)))
     clens = np.pad(np.asarray(clens, np.int32), (0, pad))
     ulens_p = np.pad(np.asarray(ulens, np.int32), (0, pad))
-    dec = jax.jit(lambda f, c, u: ops_decode.decode_corpus(f, c, u, wave=WAVE))
+    dec = jax.jit(lambda f, c, u: ops_decode.decode_corpus(f, c, u, wave=DEC_WAVE))
     fd = jax.device_put(frags)
     cd = jax.device_put(clens)
     ud = jax.device_put(ulens_p)
