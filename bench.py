@@ -24,12 +24,13 @@ def log(*a):
 
 
 #: Blocks/fragments per vmapped wave inside the single-dispatch corpus
-#: programs. Swept on v5e: encode B=16 is 21% faster per block than B=8
-#: (541 vs 674 us/block same-job; B>=24 fails remote compile on matcher
-#: VMEM), decode improves through B=24 (1060/1022/994 at 16/24/32 — 24 is
-#: the largest divisor of the 48-fragment corpus, padding a wave with
-#: zero fragments costs full-lane work).
-ENC_WAVE = 16
+#: programs. Swept on v5e: encode improves with batch (674/541/503/525
+#: us/block at 8/16/24/32 — the packed-candidate matcher cleared the
+#: scoped-VMEM ceiling that used to cap waves at 16); decode improves
+#: through 24+ (1060/1022/994 at 16/24/32). 24 is the largest divisor of
+#: the 48-block/fragment corpus — padding a wave with zero entries costs
+#: full-lane work.
+ENC_WAVE = 24
 DEC_WAVE = 24
 
 

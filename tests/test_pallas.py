@@ -436,3 +436,9 @@ def test_matcher_kernel_matches_xla():
         jx, ox = E._matcher_xla(cands, jnp.int32(n), iota)
         assert (np.asarray(jk) == np.asarray(jx)).all()
         assert (np.asarray(ok_) == np.asarray(ox)).all()
+        # and the packed-table kernel form (in-kernel 16-bit unpack)
+        pref, words = E._candidate_offsets(key, jnp.int32(n), iota, 16,
+                                           "class", packed=True)
+        jp, op = M.matcher_block_packed(pref, words, jnp.int32(n), 16)
+        assert (np.asarray(jp) == np.asarray(jx)).all()
+        assert (np.asarray(op) == np.asarray(ox)).all()

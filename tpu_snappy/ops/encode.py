@@ -89,7 +89,8 @@ def _window_keys(block: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
 
 
 def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
-                       flatten: str = "class", probes: int | None = None):
+                       flatten: str = "class", probes: int | None = None,
+                       packed: bool = False):
     """Previous positions with an identical 4-byte window, as offsets
     (0 = no candidate). key: _window_keys output. Sort-based rank-space
     matcher: after sorting (window, position) pairs, the k-th previous
@@ -114,6 +115,7 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     r = max(probes or k, k)
     if flatten == "off":
         r = k  # legacy nearest-first table, no dedup
+        assert not packed, "packed form requires the flattening slot"
     w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
 
     rank = jnp.arange(N, dtype=jnp.int32)
@@ -186,12 +188,22 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     # TPU-native permutation scatter is a second sort keyed by position,
     # with offsets (16-bit by construction) packed in pairs to halve the
     # payload operands.
-    packed = [
+    words = [
         offs[2 * j].astype(jnp.uint32)
         | (offs[2 * j + 1].astype(jnp.uint32) << 16)
         for j in range(k // 2)
     ]
-    back = jax.lax.sort((pos_s, *packed), num_keys=1)[1:]
+    back = jax.lax.sort((pos_s, *words), num_keys=1)[1:]
+    if packed:
+        # Kernel-facing form: the gated default (column 0 of the logical
+        # table) plus the restore payload words UNPACKED IN-KERNEL —
+        # halves the matcher's VMEM input block (the scoped-VMEM ceiling
+        # that capped encode waves at 16 blocks) and skips the XLA-side
+        # unpack + (N, K) re-stack entirely.
+        c0 = (back[0] & 0xFFFF).astype(jnp.int32)
+        flat_v = (back[(k - 1) // 2] >> 16).astype(jnp.int32)
+        pref = _flat_gate(flat_v, c0)
+        return pref, jnp.stack(back, axis=-1)  # (N,), (N, K//2) u32
     out = []
     for j, p in enumerate(back):
         out.append((p & 0xFFFF).astype(jnp.int32))
@@ -382,13 +394,19 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     key = _window_keys(block, n, iota)
-    cands = _candidate_offsets(key, n, iota, cfg.candidates, cfg.flatten,
-                               cfg.probes)
-    if jax.devices()[0].platform == "tpu":
-        # Fused VMEM-resident kernel (bit-identical to the XLA path below).
+    if jax.devices()[0].platform == "tpu" and cfg.flatten != "off":
+        # Fused VMEM-resident kernel (bit-identical to the XLA path
+        # below), fed the packed candidate form straight from the restore
+        # sort (halves its VMEM input block and skips the XLA unpack).
         from .pallas import matcher as pallas_matcher
-        jump, off = pallas_matcher.matcher_block(cands, n)
+        pref, words = _candidate_offsets(key, n, iota, cfg.candidates,
+                                         cfg.flatten, cfg.probes,
+                                         packed=True)
+        jump, off = pallas_matcher.matcher_block_packed(
+            pref, words, n, cfg.candidates)
     else:
+        cands = _candidate_offsets(key, n, iota, cfg.candidates,
+                                   cfg.flatten, cfg.probes)
         jump, off = _matcher_xla(cands, n, iota)
 
     # --- COMMIT ---

@@ -47,8 +47,12 @@ def _rollb(x, s):
     return jnp.where(lane < LANES - s, z, zc)
 
 
-def _make_kernel(k: int):
-    def kernel(cands_ref, n_ref, jump_ref, off_ref):
+def _make_kernel(k: int, packed: bool):
+    def kernel(cands_ref, *rest):
+        if packed:
+            pref_ref, n_ref, jump_ref, off_ref = rest
+        else:
+            (n_ref, jump_ref, off_ref), pref_ref = rest, None
         n = n_ref[0, 0]
         gidx = (jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1))
@@ -56,7 +60,22 @@ def _make_kernel(k: int):
         # --- sticky offsets: windowed keep-set composition (the level
         # count mirrors encode.STICKY_LEVELS; see the analysis there) ---
         from tpu_snappy.ops.encode import STICKY_LEVELS
-        keeps = [cands_ref[j] for j in range(k)]
+        if packed:
+            # Restore-sort payload words unpacked here (two 16-bit offsets
+            # per u32): halves the kernel's VMEM input block — the scoped-
+            # VMEM ceiling that capped encode waves at 16 blocks — and
+            # skips the XLA-side unpack + (N, K) re-stack. keeps[0] is the
+            # gated flattening default (encode._flat_gate); the logical
+            # keep-set = [pref] + payload entries 0..k-2, exactly the
+            # unpacked table's columns.
+            keeps = [pref_ref[:]]
+            for j in range(k // 2):
+                w = cands_ref[j]
+                keeps.append(w & 0xFFFF)
+                if len(keeps) < k:
+                    keeps.append((w >> 16) & 0xFFFF)
+        else:
+            keeps = [cands_ref[j] for j in range(k)]
         dflt = keeps[0]
         for lvl in range(STICKY_LEVELS):
             s = 4 << lvl
@@ -137,12 +156,12 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=())
 def matcher_block(cands: jax.Array, n: jax.Array):
-    """cands: (N, K) int32 candidate offsets (nearest first); n: scalar.
-    Returns (jump (N,), off (N,)) — greedy advance and chosen offsets."""
+    """cands: (N, K) int32 candidate offsets (column 0 = sticky default);
+    n: scalar. Returns (jump (N,), off (N,))."""
     k = cands.shape[-1]
     c3 = jnp.moveaxis(cands, -1, 0).reshape(k, ROWS, LANES)
     outs = pl.pallas_call(
-        _make_kernel(k),
+        _make_kernel(k, False),
         in_specs=[
             pl.BlockSpec((k, ROWS, LANES), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -153,4 +172,30 @@ def matcher_block(cands: jax.Array, n: jax.Array):
         out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.int32)] * 2,
         interpret=_interpret(),
     )(c3, jnp.reshape(n, (1, 1)).astype(jnp.int32))
+    return outs[0].reshape(N), outs[1].reshape(N)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def matcher_block_packed(pref: jax.Array, words: jax.Array, n: jax.Array,
+                         k: int):
+    """Packed-table form: pref (N,) int32 gated default + words (N, K//2)
+    u32 restore-sort payloads (two 16-bit offsets per word, unpacked
+    in-kernel). Bit-identical to matcher_block on the unpacked table."""
+    w3 = jnp.moveaxis(words.astype(jnp.int32), -1, 0).reshape(
+        k // 2, ROWS, LANES)
+    outs = pl.pallas_call(
+        _make_kernel(k, True),
+        in_specs=[
+            pl.BlockSpec((k // 2, ROWS, LANES), lambda: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, LANES), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec((ROWS, LANES), lambda: (0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.int32)] * 2,
+        interpret=_interpret(),
+    )(w3, pref.reshape(ROWS, LANES),
+      jnp.reshape(n, (1, 1)).astype(jnp.int32))
     return outs[0].reshape(N), outs[1].reshape(N)
