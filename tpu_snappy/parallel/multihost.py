@@ -46,7 +46,7 @@ def global_mesh(axis: str = "dp"):
 
 
 def compress_multihost(src, dst, total_len: int,
-                       blocks_per_wave: int = 256,
+                       blocks_per_wave: int | None = None,
                        cfg: CodecConfig = DEFAULT_CONFIG):
     """Streaming encode over the global mesh.
 
