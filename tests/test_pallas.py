@@ -442,3 +442,43 @@ def test_matcher_kernel_matches_xla():
         jp, op = M.matcher_block_packed(pref, words, jnp.int32(n), 16)
         assert (np.asarray(jp) == np.asarray(jx)).all()
         assert (np.asarray(op) == np.asarray(ox)).all()
+
+
+def test_scatter_windowed_transport_shape():
+    # Transport-shaped destinations: nondecreasing with dump sentinels and
+    # duplicate tag/payload cells (disjoint bit ranges, summed).
+    from tpu_snappy.ops.pallas import scatter as S2
+    rng = np.random.default_rng(31)
+    m = 32 * 1024
+    # strictly-increasing unique dests plus transport-style duplicates:
+    # a "descriptor" (bits 8+) and a "payload byte" (bits 0-7) sharing a
+    # cell sum in disjoint limb ranges.
+    dest = np.minimum(np.cumsum(rng.integers(1, 3, m)), N).astype(np.int32)
+    drop = rng.random(m) < 0.3
+    d = np.where(drop, N, dest).astype(np.int32)
+    vals = np.where(rng.random(m) < 0.5,
+                    rng.integers(0, 1 << 16, m) << 8,
+                    rng.integers(0, 256, m)).astype(np.int32)
+    dup = (~drop) & (rng.random(m) < 0.1) & (vals >= 256)
+    d2 = np.where(dup, d, N).astype(np.int32)   # second source, same cell
+    v2 = np.where(dup, rng.integers(0, 256, m), 0).astype(np.int32)
+    da = np.concatenate([d, d2])
+    va = np.concatenate([vals, v2])
+    y, ovf = S2.scatter_windowed(jnp.asarray(da), jnp.asarray(va), 3, N)
+    assert int(ovf) == 0
+    ref = np.zeros(N, np.int64)
+    keep = da < N
+    np.add.at(ref, da[keep], va[keep])
+    assert (np.asarray(y).astype(np.int64) == ref).all()
+
+
+def test_scatter_windowed_overflow_detected():
+    from tpu_snappy.ops.pallas import scatter as S2
+    m = 1024
+    d = np.full(m, N, np.int32)
+    d[0], d[1023] = 0, 40000  # span >> window
+    vals = np.full(m, 5, np.int32)
+    y, ovf = S2.scatter_windowed(jnp.asarray(d), jnp.asarray(vals), 3, N)
+    assert int(ovf) == 1
+    y = np.asarray(y)
+    assert y[0] == 5 and y[40000] == 0

@@ -188,7 +188,17 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     mdst = jnp.where(tags, jnp.minimum(opos, OUT),
                      jnp.where(is_payload, jnp.clip(out_q, 0, OUT), dump))
     mval = jnp.where(tags, desc << 8, c.astype(jnp.int32))
-    merged = _scatter_out(mdst, mval, limbs=3)
+    if _on_tpu():
+        # Transport destinations are nondecreasing (tags at opos, payload
+        # at out_q, both monotone in input position) apart from dropped
+        # writes, so the windowed scatter applies: WROWS/512 of the full
+        # kernel's MAC work. Valid streams cannot overflow the window
+        # (Snappy expansion caps a tile's output span — see WROWS); an
+        # overflow therefore marks the fragment invalid.
+        merged, sovf = pallas_scatter.scatter_windowed(mdst, mval, 3, OUT)
+        ok &= sovf == 0
+    else:
+        merged = _scatter_out(mdst, mval, limbs=3)
     lit_out = merged & 0xFF
     o_desc = merged >> 8
 

@@ -15,7 +15,8 @@ Where the RTL is a per-byte state machine —
   1. MATCH: sort (4-byte window, position) pairs; in sorted (rank) space the
      nearest previous occurrence of every window is an adjacent row, with
      equality already proven by key equality. No hash table, no collisions,
-     denser candidates than any SRAM table. Two candidates per position.
+     denser candidates than any SRAM table. K (default 14) verified
+     candidates per position, fed to the matcher in packed 16-bit pairs.
   2. EXTEND: stride-4 agreement chains turn per-position 4-byte matches into
      match lengths (roll-based capped run-length doubling — the VPU-wide
      replacement for the 4-lane comparator), then a max-plus cummax

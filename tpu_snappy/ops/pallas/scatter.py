@@ -107,3 +107,100 @@ def scatter_block(dest: jax.Array, values: jax.Array, limbs: int = 2,
         interpret=_interpret(),
     )(d2, *vs)
     return out.reshape(out_cells)
+
+
+#: Windowed-scatter rows per source tile: Snappy expansion caps a 1024-byte
+#: compressed tile's output span at ceil(1024/3)*64 = 21846 bytes (copy2:
+#: 64 out per 3 in is the format maximum), plus <= 1024 bytes of window
+#: base alignment slop -> 179 rows; 192 leaves margin.
+WROWS = 192
+
+
+def _make_wkernel(limbs: int, hi_n: int):
+    cap = hi_n * LO
+
+    def kernel(dest_ref, *rest):
+        v_refs = rest[:limbs]
+        out_ref = rest[limbs]
+        ovf_ref = rest[limbs + 1]
+        acc = rest[limbs + 2]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            ovf_ref[0, 0] = 0
+
+        dest = dest_ref[:]
+        active = dest < cap
+        m = jnp.min(jnp.where(active, dest, cap + (1 << 20)))
+
+        @pl.when(m < cap)
+        def _():
+            base = jnp.minimum((m >> 10) << 3, hi_n - WROWS)
+            rel = (dest >> 7) - base
+            rel = jnp.where(active, rel, WROWS)
+            ovf_ref[0, 0] += jnp.sum(((rel >= WROWS) & active)
+                                     .astype(jnp.int32))
+            lo = dest & (LO - 1)
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (WROWS, TC), 0)
+            lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LO, TC), 0)
+            contribs = [jnp.zeros((WROWS, LO), jnp.float32)
+                        for _ in range(limbs)]
+            for r in range(TR):
+                hi_oh = (rel[r:r + 1, :] == w_iota).astype(jnp.float32)
+                lo_oh = (lo[r:r + 1, :] == lo_iota).astype(jnp.float32)
+                for j in range(limbs):
+                    lov = lo_oh * v_refs[j][r:r + 1, :]
+                    contribs[j] += jax.lax.dot_general(
+                        hi_oh, lov,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            for j in range(limbs):
+                acc[j, pl.ds(base, WROWS), :] += contribs[j]
+
+        @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+        def _():
+            res = acc[0].astype(jnp.int32)
+            for j in range(1, limbs):
+                res = (res << 8) | acc[j].astype(jnp.int32)
+            out_ref[:] = res
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("limbs", "out_cells"))
+def scatter_windowed(dest: jax.Array, values: jax.Array, limbs: int = 3,
+                     out_cells: int = N):
+    """Windowed variant of scatter_block for NEAR-MONOTONE destinations
+    (the decode transport: element/payload dests are nondecreasing apart
+    from dropped-write sentinels). Each 1024-source tile builds one-hots
+    over a WROWS-row window anchored at its minimum active destination —
+    WROWS/hi_n of the full scatter's MAC work. Destinations whose tile
+    violates the window contract (impossible for valid Snappy transport
+    sources, see WROWS) are dropped and counted.
+
+    Returns (out (out_cells,) int32, overflow count int32)."""
+    m = dest.shape[-1]
+    hi_n = out_cells // LO
+    d2 = dest.reshape(m // TC, TC)
+    vs = [(values >> (8 * (limbs - 1)) if j == 0
+           else (values >> (8 * (limbs - 1 - j))) & 0xFF)
+          .reshape(m // TC, TC).astype(jnp.float32) for j in range(limbs)]
+    tile = pl.BlockSpec((TR, TC), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out, ovf = pl.pallas_call(
+        _make_wkernel(limbs, hi_n),
+        grid=(m // (TR * TC),),
+        in_specs=[tile] * (1 + limbs),
+        out_specs=[
+            pl.BlockSpec((hi_n, LO), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hi_n, LO), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((limbs, hi_n, LO), jnp.float32)],
+        interpret=_interpret(),
+    )(d2, *vs)
+    return out.reshape(out_cells), ovf[0, 0]
