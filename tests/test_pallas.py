@@ -405,7 +405,7 @@ def test_emit_kernel_stream_equivalence():
         blocks = jnp.asarray(buf)[None]
         lens = jnp.full((1,), n, jnp.int32)
         out_s, tot_s = E.encode_blocks(blocks, lens, placement="sort")
-        for mode in ("emit", "single"):
+        for mode in ("emit", "single", "winplace"):
             out_e, tot_e = E.encode_blocks(blocks, lens, placement=mode)
             assert int(tot_s[0]) == int(tot_e[0]), mode
             assert (np.asarray(out_s) == np.asarray(out_e)).all(), mode
