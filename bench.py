@@ -24,9 +24,9 @@ def log(*a):
 
 
 #: Blocks/fragments per vmapped wave inside the single-dispatch corpus
-#: programs. Swept on v5e: encode improves with batch (674/541/503/525
-#: us/block at 8/16/24/32 — the packed-candidate matcher cleared the
-#: scoped-VMEM ceiling that used to cap waves at 16); decode improves
+#: programs. Swept on v5e: encode improves with batch (499/450/462
+#: us/block at 16/24/32 with windowed placement — the packed-candidate
+#: matcher cleared the scoped-VMEM ceiling at 16); decode improves
 #: through 24+ (1060/1022/994 at 16/24/32). 24 is the largest divisor of
 #: the 48-block/fragment corpus — padding a wave with zero entries costs
 #: full-lane work.
