@@ -144,13 +144,16 @@ def _make_wkernel(limbs: int, hi_n: int):
             lo = dest & (LO - 1)
             w_iota = jax.lax.broadcasted_iota(jnp.int32, (WROWS, TC), 0)
             lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LO, TC), 0)
+            # bf16 one-hots/values: exact (0/1 times limb values <= 256)
+            # and half the build cost — unlike the full-height kernel,
+            # the windowed form is build-bound, not MAC-bound.
             contribs = [jnp.zeros((WROWS, LO), jnp.float32)
                         for _ in range(limbs)]
             for r in range(TR):
-                hi_oh = (rel[r:r + 1, :] == w_iota).astype(jnp.float32)
-                lo_oh = (lo[r:r + 1, :] == lo_iota).astype(jnp.float32)
+                hi_oh = (rel[r:r + 1, :] == w_iota).astype(jnp.bfloat16)
+                lo_oh = (lo[r:r + 1, :] == lo_iota).astype(jnp.bfloat16)
                 for j in range(limbs):
-                    lov = lo_oh * v_refs[j][r:r + 1, :]
+                    lov = lo_oh * v_refs[j][r:r + 1, :].astype(jnp.bfloat16)
                     contribs[j] += jax.lax.dot_general(
                         hi_oh, lov,
                         dimension_numbers=(((1,), (1,)), ((), ())),
