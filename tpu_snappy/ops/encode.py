@@ -51,11 +51,13 @@ N = fmt.BLOCK_SIZE  # 65536: fixed lane count of every per-position array
 
 #: Windowed sticky-composition depth: composes the last 2**STICKY_LEVELS
 #: stride-4 transfers. The chain horizon is 17 stride-4 steps (the capped
-#: run-length doubling counts at most 16 links = 68 bytes), so 32 >= 17
-#: transfers suffice; corpus-swept: 5 levels is bit-identical in output
-#: size to 6 on every corpus file, 4 costs a few bytes. The Pallas matcher
-#: kernel mirrors this constant.
-STICKY_LEVELS = 5
+#: run-length doubling counts at most 16 links = 68 bytes), so a full
+#: horizon needs 32 >= 17 transfers (5 levels); corpus-swept, 4 levels
+#: (16 transfers — one short of the horizon) costs only +11 B on the whole
+#: mtg corpus and 0 B on every BASELINE bar file, while cutting a fifth of
+#: the matcher's K^2-membership work (measured 513 -> 497 us/block on v5e).
+#: The Pallas matcher kernel mirrors this constant.
+STICKY_LEVELS = 4
 
 
 def _ffill(mask: jax.Array, vals: jax.Array) -> jax.Array:
