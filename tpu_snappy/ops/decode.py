@@ -80,11 +80,12 @@ FRAG_CAP = 68 * 1024
 OUT = fmt.BLOCK_SIZE
 
 #: Sparse-resolve extraction width (hybrid path): the dense doubling loop
-#: runs until the moving set fits this many lanes. Swept on v5e (mtg,
-#: us/frag own/google streams): 8192 -> 1377/1264, 12288 -> 1365/1320,
-#: 16384 -> 1384/1369, 24576 -> 1539/1389 — chase cost grows faster than
-#: the saved dense rounds.
-SPARSE_CAP = 8192
+#: runs until the moving set fits this many lanes. Re-swept on v5e after
+#: the int8 gather + bucketed widths (mtg own streams, us/frag):
+#: 8192 -> 930, 12288 -> 860, 16384 -> 881 — one more dense round traded
+#: for a wider chase now wins (an earlier sweep at 8-block waves preferred
+#: 8192; the chase gathers got relatively cheaper).
+SPARSE_CAP = 12288
 
 
 def _elem_fields(c: jax.Array):
@@ -142,11 +143,14 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     m = c.shape[-1]
     iota = jnp.arange(m, dtype=jnp.int32)
 
-    if fields == "kernel" and m == pallas_fields.FRAG_CAP:
-        # Fused VMEM kernel — bit-identical to the XLA expression, but
-        # measured SLOWER on v5e (0.667 vs 0.288 ms/block): XLA already
-        # fuses the shifted-byte arithmetic well, and the whole-block
-        # grid=1 kernel forfeits pipelining. Kept selectable + tested.
+    if fields == "kernel" and m % 2048 == 0:
+        # Fused VMEM kernel at the bucketed fragment width (width-
+        # parametric, gridded). Measured a WASH end-to-end vs the XLA
+        # expression (932.6 vs 934.4 us/frag on mtg at B=24): XLA fuses
+        # the whole fields+parse front into the downstream consumers well
+        # enough that a prefix-timing breakdown overstates its cost. Kept
+        # selectable + tested; the earlier grid=1 full-capacity form was
+        # strictly worse (0.667 vs 0.288 ms/block).
         size, outbytes, is_lit_i, hdr, off = pallas_fields.elem_fields_block(c)
         is_lit = is_lit_i == 1
     else:

@@ -28,9 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 FRAG_CAP = 68 * 1024
 LANES = 128
-ROWS = FRAG_CAP // LANES  # 544
-TR = 16                   # rows per grid step; 544 = 34 tiles
-TILES = ROWS // TR
+TR = 16  # rows per grid step (16 x 128 = 2048 positions)
 
 
 def _rollb_ext(x, s):
@@ -89,22 +87,27 @@ def _interpret() -> bool:
 
 @jax.jit
 def elem_fields_block(c: jax.Array):
-    """c: (FRAG_CAP,) uint8. Returns (size, outbytes, is_lit, hdr, offset),
-    each (FRAG_CAP,) int32 — bit-identical to decode._elem_fields (which
+    """c: (W,) uint8, W any multiple of 2048 (the bucketed fragment widths
+    are 8 KB multiples). Returns (size, outbytes, is_lit, hdr, offset),
+    each (W,) int32 — bit-identical to decode._elem_fields (which
     additionally returns a `length` field no caller consumes); the shifted
     byte streams wrap at the fragment end exactly like jnp.roll (the final
     tile's halo is tile 0)."""
-    c2 = c.reshape(ROWS, LANES)
+    w = c.shape[-1]
+    assert w % (TR * LANES) == 0, w
+    rows = w // LANES
+    tiles = rows // TR
+    c2 = c.reshape(rows, LANES)
     tile = pl.BlockSpec((TR, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    halo = pl.BlockSpec((TR, LANES), lambda i: ((i + 1) % TILES, 0),
+    halo = pl.BlockSpec((TR, LANES), lambda i: ((i + 1) % tiles, 0),
                         memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _kernel,
-        grid=(TILES,),
+        grid=(tiles,),
         in_specs=[tile, halo],
         out_specs=[tile] * 5,
-        out_shape=[jax.ShapeDtypeStruct((ROWS, LANES), jnp.int32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 5,
         interpret=_interpret(),
     )(c2, c2)
-    return tuple(o.reshape(FRAG_CAP) for o in outs)
+    return tuple(o.reshape(w) for o in outs)
