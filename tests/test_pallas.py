@@ -482,3 +482,33 @@ def test_scatter_windowed_overflow_detected():
     assert int(ovf) == 1
     y = np.asarray(y)
     assert y[0] == 5 and y[40000] == 0
+
+
+def test_gather_window_anchored():
+    """Anchored windowed doubling step: exact where the per-tile window
+    covers the source, no-advance (and reported) where it doesn't."""
+    from tpu_snappy.ops.pallas import gatherwin as GW
+
+    rng = np.random.default_rng(11)
+    n = GW.N
+    x = rng.integers(0, n, n, dtype=np.int32)
+    # Mix of local hops (windowed fires) and far hops (must not advance).
+    pos = np.arange(n, dtype=np.int32)
+    hop = rng.integers(1, 2400, n, dtype=np.int32)
+    idx = np.maximum(pos - hop, 0)
+    far = rng.random(n) < 0.05
+    idx[far] = rng.integers(0, n, far.sum(), dtype=np.int32)
+    out, win = GW.gather_window_anchored(jnp.asarray(x), jnp.asarray(idx))
+    out, win = np.asarray(out), np.asarray(win)
+
+    tiles = idx.reshape(-1, GW.TR * GW.TC)
+    anchors = np.minimum(tiles.max(axis=-1) >> 12, GW.NBLK - 2)
+    lo = anchors * 4096
+    inwin = (tiles >= lo[:, None]) & (tiles < (lo + 8192)[:, None])
+    inwin = inwin.reshape(-1)
+    assert np.array_equal(win == 1, inwin)
+    assert np.array_equal(out[inwin], x[idx[inwin]])
+    assert np.array_equal(out[~inwin], idx[~inwin])
+    # The tile maximum source is always covered.
+    assert win.reshape(-1, GW.TR * GW.TC)[
+        np.arange(tiles.shape[0]), tiles.argmax(axis=-1)].all()

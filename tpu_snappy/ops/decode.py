@@ -87,6 +87,14 @@ OUT = fmt.BLOCK_SIZE
 #: 8192; the chase gathers got relatively cheaper).
 SPARSE_CAP = 12288
 
+#: Run the first two resolve doubling rounds through the anchored-window
+#: gather kernel (ops/pallas/gatherwin.py) instead of full dense rounds.
+#: Measured perf-NEUTRAL on TPU (930 vs 932 us/frag on mtg, same-session
+#: A/B): the 1/8 MAC saving is eaten by the per-call kernel overhead, as
+#: with the earlier windowed-round variants. Kept as a tested knob; the
+#: default preserves the clean sparse-chase termination bound.
+WINDOWED_OPENING = False
+
 
 def _elem_fields(c: jax.Array):
     """Speculative per-byte element decode (as if every byte were a tag).
@@ -281,6 +289,27 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         # repeating after run collapse) never enter the sparse while-loop.
         CAP = SPARSE_CAP  # lanes; multiple of gather tiles (4096) and 256
 
+        if _on_tpu() and WINDOWED_OPENING:
+            # The first two doubling rounds run ANCHORED-WINDOWED (1/8 of
+            # the dense MAC work): early-round hops are local, so each
+            # target tile gathers from an 8 KB window under its maximum
+            # source (ops/pallas/gatherwin.py). An out-of-window lane does
+            # not advance and is NOT a fixpoint proof, so the moving mask
+            # carries (moved | out-of-window) — the sparse extraction's
+            # over-approximation invariant stays sound. Streams that used
+            # to early-exit (random; repeating after run collapse) win
+            # too: their mandatory 2 opening rounds get 2x cheaper.
+            from .pallas import gatherwin
+            mask = jnp.ones(OUT, jnp.bool_)
+            for _ in range(2):
+                s2, win = gatherwin.gather_window_anchored(src, src)
+                mask = (s2 != src) | (win == 0)
+                src = s2
+            cnt0, it0 = jnp.sum(mask.astype(jnp.int32)), jnp.int32(2)
+        else:
+            mask = jnp.ones(OUT, jnp.bool_)
+            cnt0, it0 = jnp.int32(OUT), jnp.int32(0)
+
         def dense_cond(c):
             _s, _m, cnt, it = c
             return (cnt > 0) & (it < 16) & ((it < 2) | (cnt > CAP))
@@ -292,15 +321,14 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             return s2, m, jnp.sum(m.astype(jnp.int32)), it + 1
 
         src, mask, cnt, _ = jax.lax.while_loop(
-            dense_cond, dense_body,
-            (src, jnp.ones(OUT, jnp.bool_), jnp.int32(OUT), jnp.int32(0)))
+            dense_cond, dense_body, (src, mask, cnt0, it0))
 
         def sparse_cond(c):
             ran, cnt2 = c[0], c[1]
             return ~ran & (cnt2 > 0)
 
         def sparse_body(c):
-            _ran, _cnt, s, m = c
+            _ran, _cnt, s, m, _good = c
             # Unresolved-first extraction. `m` (moved last round) is a
             # sound over-approximation of "not yet at a literal": a lane
             # that did not move had a fixpoint (= literal) source already.
@@ -312,13 +340,15 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             ks, qs = jax.lax.sort((key, s), num_keys=1)
             q = qs[:CAP]
 
-            # Termination bound: when the dense loop exits at round r with
-            # cnt <= CAP, any still-unresolved chain has at most cnt
-            # positions of depth > 2^r above its resolved tail, so its
-            # remaining depth is <= CAP + 2^r hops; each chase step through
-            # the frozen table advances 2^r hops, giving <= CAP/2^r + 1
-            # <= 3073 steps for ANY valid stream (r >= 2). Real streams
-            # take a handful.
+            # Termination: when every pre-sparse round was a FULL dense
+            # round exiting at round r with cnt <= CAP, each chase step
+            # advances 2^r hops, bounding the chase at CAP/2^r + 1 <= 3073
+            # steps. The anchored-windowed opening rounds void that clean
+            # bound (a lane their windows missed advances as little as one
+            # hop per step), so convergence is CHECKED rather than assumed:
+            # a chase that hits the step cap marks the fragment not-ok and
+            # the host decoder takes it (api.decompress fallback). Real
+            # streams converge in a handful of steps either way.
             def chase_cond(cc):
                 _q, it, done = cc
                 return ~done & (it < 8192)
@@ -328,7 +358,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
                 q2 = _gather_out(s, q1)
                 return q2, it + 1, jnp.all(q2 == q1)
 
-            q, _, _ = jax.lax.while_loop(
+            q, _, chase_done = jax.lax.while_loop(
                 chase_cond, chase_body, (q, jnp.int32(0), jnp.bool_(False)))
             # Restore: the extraction rows are a permutation of all 64K
             # positions; one position-keyed sort puts the chased values
@@ -338,10 +368,12 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             allval = jnp.concatenate([q, qs[CAP:]], axis=-1)
             packed = (allpos << 16) | allval.astype(jnp.uint32)
             s_new = (jnp.sort(packed, axis=-1) & 0xFFFF).astype(jnp.int32)
-            return jnp.bool_(True), jnp.int32(0), s_new, m
+            return jnp.bool_(True), jnp.int32(0), s_new, m, chase_done
 
-        _, _, src, _ = jax.lax.while_loop(
-            sparse_cond, sparse_body, (jnp.bool_(False), cnt, src, mask))
+        _, _, src, _, chase_ok = jax.lax.while_loop(
+            sparse_cond, sparse_body,
+            (jnp.bool_(False), cnt, src, mask, jnp.bool_(True)))
+        ok &= chase_ok
         out = _gather_out(lit_out, src, limbs=1).astype(jnp.uint8)
     else:
         done = jnp.bool_(False)

@@ -190,7 +190,32 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     # Back to position space. A scatter would cost ~700us/block on TPU; the
     # TPU-native permutation scatter is a second sort keyed by position,
     # with offsets (16-bit by construction) packed in pairs to halve the
-    # payload operands.
+    # payload operands. ODD k packs the last slot (the flattening offset)
+    # into the free low half of the position key itself — positions are
+    # unique, so (pos << 16 | off) sorts identically to pos and the
+    # restore drops to ceil((k+1)/2) operands instead of k/2 + 1.
+    if k % 2:
+        skey = ((pos_s.astype(jnp.uint32) << 16)
+                | (offs[k - 1] & 0xFFFF).astype(jnp.uint32))
+        words = [
+            offs[2 * j].astype(jnp.uint32)
+            | (offs[2 * j + 1].astype(jnp.uint32) << 16)
+            for j in range((k - 1) // 2)
+        ]
+        backall = jax.lax.sort((skey, *words), num_keys=1)
+        flat_back = (backall[0] & 0xFFFF).astype(jnp.int32)
+        back = backall[1:]
+        assert flatten != "off", "odd k requires the flattening slot"
+        if packed:
+            c0 = (back[0] & 0xFFFF).astype(jnp.int32)
+            pref = _flat_gate(flat_back, c0)
+            return pref, jnp.stack(back, axis=-1)  # (N,), (N, (K-1)//2) u32
+        out = []
+        for p in back:
+            out.append((p & 0xFFFF).astype(jnp.int32))
+            out.append((p >> 16).astype(jnp.int32))
+        pref = _flat_gate(flat_back, out[0])
+        return jnp.stack([pref] + out, axis=-1)  # (N, K)
     words = [
         offs[2 * j].astype(jnp.uint32)
         | (offs[2 * j + 1].astype(jnp.uint32) << 16)
