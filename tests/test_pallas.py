@@ -184,6 +184,33 @@ def test_resolve_identity_and_worstcase():
     assert (y == lit[0]).all()
 
 
+def test_tiled_resolve_chains():
+    """Tile-sequential resolve: exact on mixed chains, identity, full-depth
+    RLE, and cross-tile hops (sources strictly decrease by construction)."""
+    from tpu_snappy.ops.pallas import tiledres as TR
+    rng = np.random.default_rng(33)
+    lit = rng.integers(0, 256, N, dtype=np.int32)
+    ident = np.arange(N, dtype=np.int32)
+
+    # Random decreasing map: every lane jumps to min(p, random) — long
+    # cross-tile chains plus plenty of fixpoints.
+    src = np.minimum(ident, rng.integers(0, N, N)).astype(np.int32)
+    y = np.asarray(TR.resolve_tiled(jnp.asarray(lit), jnp.asarray(src)))
+    assert (y == lit[_fixed_point(src)]).all()
+
+    # Identity and the depth-65535 period-1 chain (worst legal stream).
+    y = np.asarray(TR.resolve_tiled(jnp.asarray(lit), jnp.asarray(ident)))
+    assert (y == lit).all()
+    chain = np.maximum(ident - 1, 0)
+    y = np.asarray(TR.resolve_tiled(jnp.asarray(lit), jnp.asarray(chain)))
+    assert (y == lit[0]).all()
+
+    # Hops that repeatedly straddle tile boundaries by one position.
+    src = np.maximum(ident - (ident % TR.TILE) - 1, 0).astype(np.int32)
+    y = np.asarray(TR.resolve_tiled(jnp.asarray(lit), jnp.asarray(src)))
+    assert (y == lit[_fixed_point(src)]).all()
+
+
 def test_resolve_decode_equivalence():
     # Kernel vs XLA resolution must produce identical decodes on real
     # streams, including the RLE-heavy worst case.
@@ -200,7 +227,8 @@ def test_resolve_decode_equivalence():
         import tpu_snappy.format as fmt
         _, start = fmt.varint_decode(comp)
         frags, clens, ulens = D.fragment_table(comp, start, len(data))
-        for resolve in ("xla", "kernel", "windowed", "plain", "hybrid"):
+        for resolve in ("xla", "kernel", "windowed", "plain", "hybrid",
+                        "tiled", "tiledtail"):
             out, ok = D.decode_fragments_jit(
                 jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
                 resolve=resolve)

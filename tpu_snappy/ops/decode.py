@@ -87,6 +87,12 @@ OUT = fmt.BLOCK_SIZE
 #: 8192; the chase gathers got relatively cheaper).
 SPARSE_CAP = 12288
 
+#: resolve="tiledtail" dense-round exit: once the moving set is at most
+#: this many lanes, the tile-sequential kernel takes over. Unlike
+#: SPARSE_CAP this is not a lane budget — the tail kernel's cost scales
+#: with remaining chain STRUCTURE, so the threshold can sit much higher.
+TAIL_CAP = 32768
+
 #: Run the first two resolve doubling rounds through the anchored-window
 #: gather kernel (ops/pallas/gatherwin.py) instead of full dense rounds.
 #: Measured perf-NEUTRAL on TPU (930 vs 932 us/frag on mtg, same-session
@@ -139,7 +145,9 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
                     resolve: str = "auto", fields: str = "auto",
                     collapse_runs: bool = True):
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
-    resolve: copy-chain strategy — "auto"/"hybrid" (dense doubling rounds
+    resolve: copy-chain strategy — "auto" (TPU: "tiledtail", else
+    "hybrid"), "tiledtail" (adaptive dense rounds + tile-sequential tail
+    kernel), "tiled" (tail kernel alone), "hybrid" (dense doubling rounds
     while the moving set is large, then sort-extract + sparse pointer
     chase + sort-restore; see the inline analysis), "plain" (per-round
     dispatched doubling to the fixed point), "kernel" (fused mega-kernel),
@@ -148,6 +156,13 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     (Pallas; measured slower, kept selectable). collapse_runs: arithmetic
     periodic-run collapse before doubling (A/B knob).
     Returns (out (65536,) uint8, ok bool)."""
+    if resolve == "auto":
+        # TPU: adaptive dense rounds + the tile-sequential tail kernel
+        # (same-session A/B on v5e, us/frag: mtg 698 vs 863, repeating 511
+        # vs 672, random 424 vs 423, google-mtg streams 748 — see
+        # ops/pallas/tiledres.py). CPU keeps the sort-based hybrid (the
+        # kernel only runs interpreted there).
+        resolve = "tiledtail" if _on_tpu() else "hybrid"
     m = c.shape[-1]
     iota = jnp.arange(m, dtype=jnp.int32)
 
@@ -255,7 +270,40 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     # stable and the flags are pure overhead). Both remain selectable and
     # tested. The effective lever was ENCODE-side chain flattening
     # (encode._flat_gate), which cut the rounds themselves.
-    if resolve == "kernel":
+    if resolve == "tiled":
+        # Tile-sequential resolve + byte gather in one kernel (see
+        # ops/pallas/tiledres.py): pointers strictly decrease, so 4 K tiles
+        # processed left-to-right need only local doubling plus one
+        # absorbing byte gather from the resolved prefix — no global
+        # rounds, no sparse phase, hard 13-round local bound.
+        from .pallas import tiledres
+        out = tiledres.resolve_tiled(lit_out, src).astype(jnp.uint8)
+    elif resolve == "tiledtail":
+        # Adaptive dense doubling rounds while the moving set is large,
+        # then the tile-sequential kernel finishes: its serial local-round
+        # budget shrinks with the remaining chain structure (not just the
+        # remaining COUNT, which is what the sparse chase needed), it
+        # replaces both extraction sorts, the pointer chase AND the final
+        # byte gather, and it is exact with a hard bound for any stream —
+        # no convergence fallback. No mandatory opening rounds either:
+        # streams that resolve instantly (random; repeating after run
+        # collapse) exit after one round straight into a near-trivial tail.
+        from .pallas import tiledres
+
+        def dense_cond(c):
+            _s, cnt, it = c
+            return (cnt > TAIL_CAP) & (it < 16)
+
+        def dense_body(c):
+            s, _cnt, it = c
+            s2 = _gather_out(s, s)
+            return s2, jnp.sum((s2 != s).astype(jnp.int32)), it + 1
+
+        src, cnt, _ = jax.lax.while_loop(
+            dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
+        out = tiledres.resolve_tiled(
+            lit_out, src, resolved=cnt == 0).astype(jnp.uint8)
+    elif resolve == "kernel":
         from .pallas import resolve as pallas_resolve
         out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)
     elif resolve == "stable" and _on_tpu():

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: tile-sequential copy-chain resolution + byte gather.
+
+Replaces the decoder's RESOLVE stage (global pointer-doubling rounds + the
+sparse sort/chase/sort phase + the final byte gather — decode.py) with ONE
+kernel built on the format's strongest invariant: **every pointer strictly
+decreases** (a copy's source is behind its destination; literals are
+fixpoints), so chains never re-enter a region once they leave it leftwards.
+
+Processing TILE-position tiles LEFT TO RIGHT therefore gives each tile two
+cheap phases:
+
+  1. LOCAL doubling to the tile-local fixpoint: every lane ends either at
+     an in-tile literal or pointing out-of-tile (strictly left). The gather
+     table is the tile itself — a (TR, 128) VMEM block with a TR-row hi
+     one-hot, a fraction of the per-target build+select cost of a
+     full-height gather, and depth <= TILE bounds the rounds at
+     log2(TILE).
+  2. One ABSORB gather from the resolved-byte plane P: P is initialised to
+     the literal bytes and each processed tile overwrites its rows with
+     final output bytes, so a single full-height one-hot pass per tile
+     yields the final byte for every lane — out-of-tile lanes read
+     already-resolved output (the plane is absorbing), in-tile literal
+     lanes read their own literal byte from the not-yet-overwritten rows.
+
+Compared to the dispatched hybrid path this removes the global doubling
+rounds, both sparse-extraction sorts, the pointer chase, and the final
+byte gather. Unlike the hybrid's chase it needs no termination fallback:
+the local round bound is hard for ANY valid-or-garbage src with
+src[p] <= p (decode clips to that), and the fixpoint it computes is the
+same unique chain-end map, so results are bit-identical to every other
+resolve mode.
+
+The serial (tile x round) loop is the cost driver, not FLOPs — `tile` and
+`check` (doubling rounds per convergence check; checks sync a scalar and
+stall the pipeline) are sweepable statics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 1 << 16
+HI = 512
+LO = 128
+TILE = 4096            # default positions per sequential step (sweepable)
+
+
+def _make_kernel(tile: int, check: int):
+    tr = tile // LO        # rows per tile
+    nt = N // tile         # sequential steps
+    max_local = tile.bit_length()  # local depth <= tile => <= log2 rounds
+
+    def kernel(res_ref, src_ref, lit_ref, out_ref, p_ref):
+        # Resolved-byte plane: literal bytes now, final output bytes for
+        # every row a processed tile has overwritten. Bytes are bf16-exact.
+        p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        def step(t, _):
+            base = t * tile
+            s = src_ref[pl.ds(t * tr, tr), :]  # (tr, LO) i32
+
+            def one_round(s1):
+                d = s1 - base
+                in_t = d >= 0
+                dc = jnp.where(in_t, d, 0)
+                h_oh = ((dc >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((dc & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.float32)
+                # Pre-scaled 8-bit limbs of the CURRENT tile state (bf16-
+                # exact; f32 accumulation exact below 2^24 — gather.py).
+                z = (jax.lax.dot_general(
+                        h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # (tr, LO, LO)
+                g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+                return jnp.where(in_t, g, s1)
+
+            # --- local doubling to the tile-local fixpoint ---
+            def cond(c):
+                _s, changed, r = c
+                return changed & (r < max_local)
+
+            def body(c):
+                s1, _, r = c
+                s2 = s1
+                for _ in range(check):
+                    s2 = one_round(s2)
+                return s2, jnp.any(s2 != s1), r + check
+
+            # A caller-proven global fixpoint (res_ref) skips local rounds:
+            # every lane already points at a literal, and the absorb below
+            # is correct on its own (in-tile literal rows still hold their
+            # literal byte; out-of-tile rows hold that literal's resolved
+            # byte, which equals it).
+            s, _, _ = jax.lax.while_loop(
+                cond, body, (s, res_ref[0, 0] == 0, jnp.int32(0)))
+
+            # --- absorb: one full-height byte gather from the P plane ---
+            h_oh = ((s >> 7)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
+                    ).astype(jnp.bfloat16)
+            l_oh = ((s & 127)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                    ).astype(jnp.float32)
+            z = jax.lax.dot_general(
+                h_oh, p_ref[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (tr, LO, LO)
+            byte = jnp.sum(z * l_oh, axis=2)
+            p_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.bfloat16)
+            out_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nt, step, 0)
+
+    return kernel
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "check"))
+def resolve_tiled(lit: jax.Array, src: jax.Array,
+                  resolved: jax.Array | None = None,
+                  tile: int = TILE, check: int = 1) -> jax.Array:
+    """out[p] = lit[fix(src)[p]] where fix iterates src to its fixed point.
+
+    lit: (65536,) int32 byte values < 256; src: (65536,) int32 in
+    [0, 65536) with src[p] <= p (decode clips to this — it is the format's
+    sources-strictly-behind rule, and it is what makes the left-to-right
+    tile pass exact and terminating for arbitrary input). tile: positions
+    per sequential step (multiple of 128 dividing 65536); check: doubling
+    rounds per convergence check (>1 trades up to check-1 wasted rounds on
+    the final iteration for fewer pipeline-stalling scalar syncs). Returns
+    (65536,) int32 bytes, bit-identical to resolve_block / the dispatched
+    doubling modes.
+
+    resolved: optional scalar bool — a caller-side proof that src is
+    already at its global fixpoint (e.g. the dense loop counted zero moved
+    lanes), which skips every local doubling round and leaves only the
+    serial absorb passes. False/None is always safe."""
+    assert N % tile == 0 and tile % LO == 0, tile
+    if resolved is None:
+        resolved = jnp.zeros((), jnp.bool_)
+    # The flag rides a minimal (8, 128) VMEM tile: vmapped SMEM scalars are
+    # not lowerable (block (1,) fails the last-two-dims rule under a batch
+    # dim), and 4 KB of broadcast flag is noise next to the 256 KB operands.
+    res = jnp.full((8, 128), resolved.astype(jnp.int32))
+    out = pl.pallas_call(
+        _make_kernel(tile, check),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((HI, LO), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((HI, LO), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((HI, LO), jnp.bfloat16)],
+        interpret=_interpret(),
+    )(res, src.reshape(HI, LO), lit.reshape(HI, LO))
+    return out.reshape(N)
