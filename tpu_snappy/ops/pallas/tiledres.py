@@ -99,13 +99,22 @@ def _make_kernel(tile: int, check: int):
                     s2 = one_round(s2)
                 return s2, jnp.any(s2 != s1), r + check
 
-            # A caller-proven global fixpoint (res_ref) skips local rounds:
-            # every lane already points at a literal, and the absorb below
-            # is correct on its own (in-tile literal rows still hold their
-            # literal byte; out-of-tile rows hold that literal's resolved
-            # byte, which equals it).
+            # Local rounds are skippable two ways. (a) Caller-proven global
+            # fixpoint (res_ref): every lane already points at a literal,
+            # and the absorb below is correct on its own (in-tile literal
+            # rows still hold their literal byte; out-of-tile rows hold
+            # that literal's resolved byte, which equals it). (b) Per-tile
+            # precheck: if no lane points in-tile at a NON-self position,
+            # the tile is already at its local fixpoint — after the dense
+            # opening rounds compress hops past the tile width this is the
+            # COMMON case on text, and the test is one vector compare
+            # instead of the one-hot detect round the while loop would pay.
+            pos = base + (jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 0)
+                          * LO
+                          + jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 1))
+            pre = jnp.any((s >= base) & (s != pos)) & (res_ref[0, 0] == 0)
             s, _, _ = jax.lax.while_loop(
-                cond, body, (s, res_ref[0, 0] == 0, jnp.int32(0)))
+                cond, body, (s, pre, jnp.int32(0)))
 
             # --- absorb: one full-height byte gather from the P plane ---
             h_oh = ((s >> 7)[:, :, None] ==
