@@ -93,6 +93,11 @@ SPARSE_CAP = 12288
 #: with remaining chain STRUCTURE, so the threshold can sit much higher.
 TAIL_CAP = 32768
 
+#: Tail kernel tile size (positions per sequential absorb step) and
+#: variant (tri=True: statically-unrolled triangular absorb).
+TAIL_TILE = 4096
+TAIL_TRI = False
+
 #: Run the first two resolve doubling rounds through the anchored-window
 #: gather kernel (ops/pallas/gatherwin.py) instead of full dense rounds.
 #: Measured perf-NEUTRAL on TPU (930 vs 932 us/frag on mtg, same-session
@@ -302,7 +307,8 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         src, cnt, _ = jax.lax.while_loop(
             dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
         out = tiledres.resolve_tiled(
-            lit_out, src, resolved=cnt == 0).astype(jnp.uint8)
+            lit_out, src, resolved=cnt == 0,
+            tile=TAIL_TILE, tri=TAIL_TRI).astype(jnp.uint8)
     elif resolve == "kernel":
         from .pallas import resolve as pallas_resolve
         out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)

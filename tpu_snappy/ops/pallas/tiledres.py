@@ -117,17 +117,23 @@ def _make_kernel(tile: int, check: int):
                 cond, body, (s, pre, jnp.int32(0)))
 
             # --- absorb: one full-height byte gather from the P plane ---
+            # The select runs fully in bf16: gathered values are bytes
+            # (< 256, bf16-exact) and the one-hot leaves a single nonzero
+            # product term, so even a bf16 sum is exact — and the tri=True
+            # experiment showed this stage is select-traffic-bound, not
+            # MAC-bound (halving the one-hot MACs changed nothing).
             h_oh = ((s >> 7)[:, :, None] ==
                     jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
                     ).astype(jnp.bfloat16)
             l_oh = ((s & 127)[:, :, None] ==
                     jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
-                    ).astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
             z = jax.lax.dot_general(
                 h_oh, p_ref[:],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (tr, LO, LO)
-            byte = jnp.sum(z * l_oh, axis=2)
+            byte = jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                           dtype=jnp.float32)
             p_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.bfloat16)
             out_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.int32)
             return 0
@@ -137,14 +143,95 @@ def _make_kernel(tile: int, check: int):
     return kernel
 
 
+def _make_kernel_tri(tile: int, check: int):
+    """Statically-unrolled triangular variant: tile t's sources lie in
+    [0, base + tile) by the decreasing-pointer rule, so its absorb one-hot
+    only needs the first (t+1)*tr rows of the P plane — half the absorb
+    build/dot work on average — and full unrolling removes the fori
+    bookkeeping at the cost of a 16x bigger kernel body."""
+    tr = tile // LO
+    nt = N // tile
+    max_local = tile.bit_length()
+
+    def kernel(res_ref, src_ref, lit_ref, out_ref, p_ref):
+        p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        for t in range(nt):
+            base = t * tile
+            s = src_ref[t * tr:(t + 1) * tr, :]  # (tr, LO) i32
+
+            def one_round(s1, base=base):
+                d = s1 - base
+                in_t = d >= 0
+                dc = jnp.where(in_t, d, 0)
+                h_oh = ((dc >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((dc & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.float32)
+                z = (jax.lax.dot_general(
+                        h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+                return jnp.where(in_t, g, s1)
+
+            if t == 0:
+                # Tile 0 cannot point left of itself; only local rounds.
+                pre_t = jnp.bool_(True)
+            else:
+                pos = base + (
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 0) * LO
+                    + jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 1))
+                pre_t = jnp.any((s >= base) & (s != pos))
+            pre = pre_t & (res_ref[0, 0] == 0)
+
+            def cond(c):
+                _s, changed, r = c
+                return changed & (r < max_local)
+
+            def body(c, one_round=one_round):
+                s1, _, r = c
+                s2 = s1
+                for _ in range(check):
+                    s2 = one_round(s2)
+                return s2, jnp.any(s2 != s1), r + check
+
+            s, _, _ = jax.lax.while_loop(
+                cond, body, (s, pre, jnp.int32(0)))
+
+            h = (t + 1) * tr  # static row bound: sources < base + tile
+            h_oh = ((s >> 7)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, h), 2)
+                    ).astype(jnp.bfloat16)
+            l_oh = ((s & 127)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                    ).astype(jnp.float32)
+            z = jax.lax.dot_general(
+                h_oh, p_ref[:h, :],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            byte = jnp.sum(z * l_oh, axis=2)
+            p_ref[t * tr:(t + 1) * tr, :] = byte.astype(jnp.bfloat16)
+            out_ref[t * tr:(t + 1) * tr, :] = byte.astype(jnp.int32)
+
+    return kernel
+
+
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "check"))
+@functools.partial(jax.jit, static_argnames=("tile", "check", "tri"))
 def resolve_tiled(lit: jax.Array, src: jax.Array,
                   resolved: jax.Array | None = None,
-                  tile: int = TILE, check: int = 1) -> jax.Array:
+                  tile: int = TILE, check: int = 1,
+                  tri: bool = False) -> jax.Array:
     """out[p] = lit[fix(src)[p]] where fix iterates src to its fixed point.
 
     lit: (65536,) int32 byte values < 256; src: (65536,) int32 in
@@ -169,7 +256,7 @@ def resolve_tiled(lit: jax.Array, src: jax.Array,
     # dim), and 4 KB of broadcast flag is noise next to the 256 KB operands.
     res = jnp.full((8, 128), resolved.astype(jnp.int32))
     out = pl.pallas_call(
-        _make_kernel(tile, check),
+        _make_kernel_tri(tile, check) if tri else _make_kernel(tile, check),
         in_specs=[
             pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
