@@ -210,6 +210,15 @@ def test_tiled_resolve_chains():
     y = np.asarray(TR.resolve_tiled(jnp.asarray(lit), jnp.asarray(src)))
     assert (y == lit[_fixed_point(src)]).all()
 
+    # The pair and tri variants must agree, including the pair fixup path
+    # (every right tile pointing into its left sibling).
+    cross = np.maximum(ident - TR.TILE, 0).astype(np.int32)
+    for variant in ("pair", "tri"):
+        for s in (src, cross):
+            y = np.asarray(TR.resolve_tiled(
+                jnp.asarray(lit), jnp.asarray(s), variant=variant))
+            assert (y == lit[_fixed_point(s)]).all(), variant
+
 
 def test_resolve_decode_equivalence():
     # Kernel vs XLA resolution must produce identical decodes on real

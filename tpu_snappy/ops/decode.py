@@ -94,9 +94,10 @@ SPARSE_CAP = 12288
 TAIL_CAP = 32768
 
 #: Tail kernel tile size (positions per sequential absorb step) and
-#: variant (tri=True: statically-unrolled triangular absorb).
+#: variant ("fori" dynamic loop; "pair" two-tiles-per-P-step with fixup;
+#: "tri" statically-unrolled triangular absorb — measured worse).
 TAIL_TILE = 4096
-TAIL_TRI = False
+TAIL_VARIANT = "fori"
 
 #: Run the first two resolve doubling rounds through the anchored-window
 #: gather kernel (ops/pallas/gatherwin.py) instead of full dense rounds.
@@ -308,7 +309,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
             dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
         out = tiledres.resolve_tiled(
             lit_out, src, resolved=cnt == 0,
-            tile=TAIL_TILE, tri=TAIL_TRI).astype(jnp.uint8)
+            tile=TAIL_TILE, variant=TAIL_VARIANT).astype(jnp.uint8)
     elif resolve == "kernel":
         from .pallas import resolve as pallas_resolve
         out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)

@@ -143,6 +143,119 @@ def _make_kernel(tile: int, check: int):
     return kernel
 
 
+def _make_kernel_pair(tile: int, check: int):
+    """Paired-absorb variant: the absorb stage is bound by the serial
+    P-plane dependency chain (~10.5 us/step measured — the tri/bf16
+    experiments ruled out MAC and traffic), so two adjacent tiles share
+    ONE P-dependent step: both resolve locally, both absorb jointly from
+    the pre-update P, and the right tile's lanes that point into the left
+    tile (whose P rows were stale during the joint read) take the left
+    tile's just-computed bytes via one small fixup gather. Correct because
+    the left tile's bytes are final after the joint absorb (its own
+    sources are out-of-pair or in-tile literals), and the right tile's
+    in-left-tile sources need exactly those bytes."""
+    tr = tile // LO
+    nt = N // tile
+    assert nt % 2 == 0, tile
+    max_local = tile.bit_length()
+
+    def kernel(res_ref, src_ref, lit_ref, out_ref, p_ref):
+        p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        def local_fix(s, base):
+            def one_round(s1):
+                d = s1 - base
+                in_t = d >= 0
+                dc = jnp.where(in_t, d, 0)
+                h_oh = ((dc >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((dc & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.float32)
+                z = (jax.lax.dot_general(
+                        h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+                return jnp.where(in_t, g, s1)
+
+            def cond(c):
+                _s, changed, r = c
+                return changed & (r < max_local)
+
+            def body(c):
+                s1, _, r = c
+                s2 = s1
+                for _ in range(check):
+                    s2 = one_round(s2)
+                return s2, jnp.any(s2 != s1), r + check
+
+            pos = base + (jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 0)
+                          * LO
+                          + jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 1))
+            pre = jnp.any((s >= base) & (s != pos)) & (res_ref[0, 0] == 0)
+            s, _, _ = jax.lax.while_loop(
+                cond, body, (s, pre, jnp.int32(0)))
+            return s
+
+        def step(t2, _):
+            base_a = (2 * t2) * tile
+            base_b = base_a + tile
+            sa = local_fix(src_ref[pl.ds(2 * t2 * tr, tr), :], base_a)
+            sb = local_fix(src_ref[pl.ds((2 * t2 + 1) * tr, tr), :], base_b)
+
+            def absorb(s):
+                h_oh = ((s >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((s & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.bfloat16)
+                z = jax.lax.dot_general(
+                    h_oh, p_ref[:],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                               dtype=jnp.float32)
+
+            byte_a = absorb(sa)
+            byte_bj = absorb(sb)
+            # Fixup: sb lanes pointing into tile a read stale P rows above;
+            # take tile a's fresh bytes instead (bf16-exact, one nonzero
+            # one-hot term).
+            d = sb - base_a
+            in_a = (d >= 0) & (sb < base_b)
+            dc = jnp.where(in_a, d, 0)
+            h_oh = ((dc >> 7)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                    ).astype(jnp.bfloat16)
+            l_oh = ((dc & 127)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                    ).astype(jnp.bfloat16)
+            z = jax.lax.dot_general(
+                h_oh, byte_a.astype(jnp.bfloat16),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            fix = jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                          dtype=jnp.float32)
+            byte_b = jnp.where(in_a, fix, byte_bj)
+
+            p_ref[pl.ds(2 * t2 * tr, tr), :] = byte_a.astype(jnp.bfloat16)
+            p_ref[pl.ds((2 * t2 + 1) * tr, tr), :] = byte_b.astype(jnp.bfloat16)
+            out_ref[pl.ds(2 * t2 * tr, tr), :] = byte_a.astype(jnp.int32)
+            out_ref[pl.ds((2 * t2 + 1) * tr, tr), :] = byte_b.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nt // 2, step, 0)
+
+    return kernel
+
+
 def _make_kernel_tri(tile: int, check: int):
     """Statically-unrolled triangular variant: tile t's sources lie in
     [0, base + tile) by the decreasing-pointer rule, so its absorb one-hot
@@ -227,11 +340,11 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "check", "tri"))
+@functools.partial(jax.jit, static_argnames=("tile", "check", "variant"))
 def resolve_tiled(lit: jax.Array, src: jax.Array,
                   resolved: jax.Array | None = None,
                   tile: int = TILE, check: int = 1,
-                  tri: bool = False) -> jax.Array:
+                  variant: str = "fori") -> jax.Array:
     """out[p] = lit[fix(src)[p]] where fix iterates src to its fixed point.
 
     lit: (65536,) int32 byte values < 256; src: (65536,) int32 in
@@ -255,8 +368,10 @@ def resolve_tiled(lit: jax.Array, src: jax.Array,
     # not lowerable (block (1,) fails the last-two-dims rule under a batch
     # dim), and 4 KB of broadcast flag is noise next to the 256 KB operands.
     res = jnp.full((8, 128), resolved.astype(jnp.int32))
+    kern = {"fori": _make_kernel, "tri": _make_kernel_tri,
+            "pair": _make_kernel_pair}[variant]
     out = pl.pallas_call(
-        _make_kernel_tri(tile, check) if tri else _make_kernel(tile, check),
+        kern(tile, check),
         in_specs=[
             pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
