@@ -35,6 +35,18 @@ DEC_WAVE = 24
 
 
 def main():
+    import argparse
+    import contextlib
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed encode "
+                         "passes into DIR (the VCD-waveform role of the "
+                         "reference's Treadle/Verilator flows — view with "
+                         "tensorboard or xprof)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -99,11 +111,14 @@ def main():
     for _ in range(2):
         last = enc(blocks_d, lens_d)[1]
     np.asarray(jnp.ravel(last)[0])
+    trace_ctx = (jax.profiler.trace(args.trace)
+                 if args.trace else contextlib.nullcontext())
     t0 = time.time()
     last = None
-    for _ in range(ITERS):
-        last = enc(blocks_d, lens_d)[1]
-    np.asarray(jnp.ravel(last)[0])  # one-scalar sync bounds the whole queue
+    with trace_ctx:
+        for _ in range(ITERS):
+            last = enc(blocks_d, lens_d)[1]
+        np.asarray(jnp.ravel(last)[0])  # one-scalar sync bounds the queue
     dt = time.time() - t0
     enc_gbps = n * ITERS / dt / 1e9
     log(f"encode: {ITERS} x {n/1e6:.1f} MB in {dt:.3f}s -> {enc_gbps:.3f} GB/s/chip")

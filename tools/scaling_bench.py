@@ -1,0 +1,101 @@
+"""Scaling-efficiency benchmark: GB/s per chip as the mesh grows.
+
+The BASELINE target is >= 85% GB/s scaling at 1 chip / 1 host / 2+ hosts.
+Snappy block DP is embarrassingly parallel — the only collective is the
+all-gather of the per-block length manifest (parallel/shard.py) — so
+efficiency is set by that gather plus host-side assembly. This driver
+measures it directly: encode a fixed per-chip workload on 1..N-device
+submeshes and report throughput per chip (weak scaling).
+
+On the CPU backend (XLA_FLAGS=--xla_force_host_platform_device_count=8)
+the numbers validate the HARNESS and the sharding (CPU "chips" share one
+socket, so superlinear/sublinear artifacts are expected and the absolute
+GB/s is meaningless); on a real TPU slice the same script produces the
+BASELINE scaling row. Timing follows utils/profiling.device_bench (one
+sync per measurement; see CLAUDE.md on the tunnel).
+
+Usage: python tools/scaling_bench.py [--blocks-per-chip N] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks-per-chip", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # This image's sitecustomize force-registers the axon TPU backend
+        # and stomps the env var (CLAUDE.md); re-assert after import.
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpu_snappy import format as fmt
+    from tpu_snappy.config import DEFAULT_CONFIG
+    from tpu_snappy.ops import encode as ops_encode
+    from tpu_snappy.parallel import mesh as meshlib
+    from tpu_snappy.parallel import shard
+    from tpu_snappy.utils import corpus
+    from tpu_snappy.utils.profiling import device_bench
+
+    devs = jax.devices()
+    data = corpus.load("all-mtg-cards.txt")
+
+    sizes = sorted({1, 2, len(devs) // 2, len(devs)} - {0})
+    base = None
+    rows = []
+    for nd in sizes:
+        if nd > len(devs):
+            continue
+        m = meshlib.make_mesh(nd)
+        nblocks = args.blocks_per_chip * nd
+        raw = (data * (1 + nblocks * fmt.BLOCK_SIZE // len(data)))[
+            : nblocks * fmt.BLOCK_SIZE]
+        arr, lengths, _ = shard.blocks_of(raw, fmt.BLOCK_SIZE, nblocks)
+        bs = meshlib.block_sharding(m)
+        ss = meshlib.scalar_sharding(m)
+        bd = jax.device_put(arr, bs)
+        ld = jax.device_put(lengths, ss)
+        f = jax.jit(
+            lambda b, l: ops_encode.encode_blocks(b, l, DEFAULT_CONFIG),
+            in_shardings=(bs, ss),
+            out_shardings=(bs, meshlib.replicated(m)))
+        out, lens = f(bd, ld)  # compile + correctness
+        comp = fmt.varint_encode(len(raw)) + b"".join(
+            np.asarray(out)[i, : np.asarray(lens)[i]].tobytes()
+            for i in range(nblocks))
+        from tpu_snappy import api
+        assert api.decompress(comp) == raw
+        t = device_bench(f, bd, ld, iters=args.iters)
+        gbps = len(raw) / t / 1e9
+        per_chip = gbps / nd
+        if base is None:
+            base = per_chip
+        rows.append({"devices": nd, "GBps": round(gbps, 4),
+                     "GBps_per_chip": round(per_chip, 4),
+                     "efficiency": round(per_chip / base, 4)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    eff = rows[-1]["efficiency"] if rows else 0.0
+    print(json.dumps({"metric": "scaling_efficiency",
+                      "value": eff,
+                      "unit": "ratio",
+                      "devices": rows[-1]["devices"] if rows else 0,
+                      "platform": devs[0].platform}))
+
+
+if __name__ == "__main__":
+    main()
