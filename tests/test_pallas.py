@@ -213,7 +213,7 @@ def test_tiled_resolve_chains():
     # The pair and tri variants must agree, including the pair fixup path
     # (every right tile pointing into its left sibling).
     cross = np.maximum(ident - TR.TILE, 0).astype(np.int32)
-    for variant in ("pair", "tri"):
+    for variant in ("pair", "tri", "grid"):
         for s in (src, cross):
             y = np.asarray(TR.resolve_tiled(
                 jnp.asarray(lit), jnp.asarray(s), variant=variant))

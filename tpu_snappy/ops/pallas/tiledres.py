@@ -256,6 +256,81 @@ def _make_kernel_pair(tile: int, check: int):
     return kernel
 
 
+def _make_kernel_grid(tile: int, check: int):
+    """Grid-form variant: the tile loop rides the pallas grid instead of an
+    in-kernel fori — dispatched grid steps pipeline their block DMA and
+    measured ~5.5 us/step in the dense-round kernel vs the ~8-10 us
+    in-kernel one-hot-op floor. The P plane lives in scratch, which
+    persists across grid steps (and resets per vmap batch via the t == 0
+    guard — probed behavior, tools/jobs/b32)."""
+    tr = tile // LO
+    max_local = tile.bit_length()
+
+    def kernel(res_ref, src_ref, lit_ref, out_ref, p_ref):
+        t = pl.program_id(0)
+        base = t * tile
+
+        @pl.when(t == 0)
+        def _():
+            p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        s = src_ref[:]  # (tr, LO) block of this tile
+
+        def one_round(s1):
+            d = s1 - base
+            in_t = d >= 0
+            dc = jnp.where(in_t, d, 0)
+            h_oh = ((dc >> 7)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                    ).astype(jnp.bfloat16)
+            l_oh = ((dc & 127)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                    ).astype(jnp.float32)
+            z = (jax.lax.dot_general(
+                    h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                 + jax.lax.dot_general(
+                    h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+            return jnp.where(in_t, g, s1)
+
+        def cond(c):
+            _s, changed, r = c
+            return changed & (r < max_local)
+
+        def body(c):
+            s1, _, r = c
+            s2 = s1
+            for _ in range(check):
+                s2 = one_round(s2)
+            return s2, jnp.any(s2 != s1), r + check
+
+        pos = base + (jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 0) * LO
+                      + jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 1))
+        pre = jnp.any((s >= base) & (s != pos)) & (res_ref[0, 0] == 0)
+        s, _, _ = jax.lax.while_loop(cond, body, (s, pre, jnp.int32(0)))
+
+        h_oh = ((s >> 7)[:, :, None] ==
+                jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
+                ).astype(jnp.bfloat16)
+        l_oh = ((s & 127)[:, :, None] ==
+                jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                ).astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            h_oh, p_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        byte = jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                       dtype=jnp.float32)
+        p_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.bfloat16)
+        out_ref[:] = byte.astype(jnp.int32)
+
+    return kernel
+
+
 def _make_kernel_tri(tile: int, check: int):
     """Statically-unrolled triangular variant: tile t's sources lie in
     [0, base + tile) by the decreasing-pointer rule, so its absorb one-hot
@@ -368,6 +443,26 @@ def resolve_tiled(lit: jax.Array, src: jax.Array,
     # not lowerable (block (1,) fails the last-two-dims rule under a batch
     # dim), and 4 KB of broadcast flag is noise next to the 256 KB operands.
     res = jnp.full((8, 128), resolved.astype(jnp.int32))
+    if variant == "grid":
+        tr = tile // LO
+        out = pl.pallas_call(
+            _make_kernel_grid(tile, check),
+            grid=(N // tile,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tr, LO), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HI, LO), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tr, LO), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((HI, LO), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((HI, LO), jnp.bfloat16)],
+            interpret=_interpret(),
+        )(res, src.reshape(HI, LO), lit.reshape(HI, LO))
+        return out.reshape(N)
     kern = {"fori": _make_kernel, "tri": _make_kernel_tri,
             "pair": _make_kernel_pair}[variant]
     out = pl.pallas_call(
