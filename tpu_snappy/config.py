@@ -74,6 +74,17 @@ class CodecConfig:
     #: flattening. See encode._flat_gate.
     flatten: str = "class"
 
+    #: Lazy (one-position-lookahead) parsing threshold. 0 = pure greedy.
+    #: g >= 1 defers a match at i (emitting a literal byte instead) whenever
+    #: the match starting at i+1 is at least g bytes longer — the classic
+    #: zstd/gzip lazy heuristic, reformulated as a stateless per-position
+    #: mask over the propagated match lengths (a deferral chain is handled
+    #: by the commit scan, not by sequential re-evaluation). Ratio lever:
+    #: trades a tiny amount of matcher work for strictly better parses on
+    #: text. NOTE: currently routes the matcher through the XLA path on TPU
+    #: (the fused Pallas matcher implements greedy only).
+    lazy: int = 0
+
     #: Mesh axis name for data-parallel block sharding.
     dp_axis: str = "dp"
 

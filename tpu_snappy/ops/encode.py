@@ -383,9 +383,11 @@ def _jump(mlp: jax.Array) -> jax.Array:
         jnp.where(mlp <= 64, mlp, jnp.where(mlp < 68, 60, 64)))
 
 
-def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array):
+def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array,
+                 lazy: int = 0):
     """Candidate table -> (jump, offset): XLA reference path, mirrored
-    bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py)."""
+    bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py) at
+    lazy=0 (the kernel implements greedy parsing only)."""
     off_s = _sticky_offsets(cands)
     ml = _match_lengths(off_s, n, iota)
     # Profitability filter: short matches with 3-byte copy2 tags that also
@@ -400,6 +402,19 @@ def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array):
     keep = ((ml >= 5) | near) & ((ml >= 6) | near | ~isolated)
     ml = jnp.where(keep, ml, 0)
     mlp, off = _propagate(ml, off_s, iota)
+    if lazy:
+        # Lazy one-position lookahead: defer the match at i to a literal
+        # whenever the match at i+1 is >= `lazy` bytes longer. Inheritance
+        # (_propagate) guarantees mlp[i+1] >= mlp[i] - 1, so any strict
+        # increase is a genuinely NEW (better) match, not an artifact.
+        # Deferral chains need no sequential re-parse: each deferred
+        # position simply becomes jump=1 and the commit scan walks through
+        # it. Matches already at the 64/68 split band never defer (mlp
+        # caps at 68, so nothing can beat them by >= 1 there... except 68
+        # vs 67 — excluded explicitly so the 60+rest split stays intact).
+        nxt = jnp.roll(mlp, -1, axis=-1).at[..., -1].set(0)
+        defer = (mlp >= 4) & (mlp < 64) & (nxt >= mlp + lazy)
+        mlp = jnp.where(defer, 0, mlp)
     return _jump(mlp), off
 
 
@@ -424,7 +439,8 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     key = _window_keys(block, n, iota)
-    if jax.devices()[0].platform == "tpu" and cfg.flatten != "off":
+    if (jax.devices()[0].platform == "tpu" and cfg.flatten != "off"
+            and not cfg.lazy):
         # Fused VMEM-resident kernel (bit-identical to the XLA path
         # below), fed the packed candidate form straight from the restore
         # sort (halves its VMEM input block and skips the XLA unpack).
@@ -437,7 +453,7 @@ def encode_block(block: jax.Array, n: jax.Array,
     else:
         cands = _candidate_offsets(key, n, iota, cfg.candidates,
                                    cfg.flatten, cfg.probes)
-        jump, off = _matcher_xla(cands, n, iota)
+        jump, off = _matcher_xla(cands, n, iota, cfg.lazy)
 
     # --- COMMIT ---
     # Sequential entry scan on TPU (0.23 vs 0.27 ms/block A/B'd on v5e);
