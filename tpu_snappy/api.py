@@ -31,14 +31,31 @@ def _to_blocks(data: bytes, block_size: int):
     return arr, lengths
 
 
+#: Blocks/fragments per vmapped wave for multi-block API calls. Jitting a
+#: vmap over ALL blocks compiles a graph proportional to the input size
+#: (a 48-block graph can exceed 10 min of XLA compile on a remote backend);
+#: lax.map over fixed 8-wide waves bounds compile cost at one wave for any
+#: input size, at ~8% device cost vs the 24-wide corpus sweet spot.
+API_WAVE = 8
+
+
 def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     """Compress to a standard Snappy stream (varint preamble + elements)."""
     blocks, lengths = _to_blocks(data, cfg.block_size)
-    out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
+    nb = len(lengths)
+    if nb > API_WAVE:
+        pad = -nb % API_WAVE
+        if pad:
+            blocks = np.pad(blocks, ((0, pad), (0, 0)))
+            lengths = np.pad(lengths, (0, pad))
+        out, out_lens = ops_encode.encode_corpus(blocks, lengths, cfg,
+                                                 wave=API_WAVE)
+    else:
+        out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)
     parts = [fmt.varint_encode(len(data))]
-    for i in range(len(out_lens)):
+    for i in range(nb):
         parts.append(out[i, : out_lens[i]].tobytes())
     return b"".join(parts)
 
@@ -58,7 +75,18 @@ def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     except ops_decode.FragmentFallback:
         from . import reference_codec
         return reference_codec.decompress(comp)
-    out, ok = ops_decode.decode_fragments(frags, fstarts, fulens, cfg)
+    nf = len(fulens)
+    if nf > API_WAVE:
+        # Bounded-compile wave batching (see compress/API_WAVE).
+        w = ops_decode.frag_width(np.asarray(fstarts))
+        pad = -nf % API_WAVE
+        fr = np.pad(np.asarray(frags)[:, :w], ((0, pad), (0, 0)))
+        cl = np.pad(np.asarray(fstarts, np.int32), (0, pad))
+        ul = np.pad(np.asarray(fulens, np.int32), (0, pad))
+        out, ok = ops_decode.decode_corpus(fr, cl, ul, wave=API_WAVE)
+        out, ok = out[:nf], ok[:nf]
+    else:
+        out, ok = ops_decode.decode_fragments(frags, fstarts, fulens, cfg)
     ok = np.asarray(ok)
     if not ok.all():
         # Either corrupt, or valid-but-exotic (e.g. copies reaching across

@@ -79,11 +79,15 @@ class CodecConfig:
     #: the match starting at i+1 is at least g bytes longer — the classic
     #: zstd/gzip lazy heuristic, reformulated as a stateless per-position
     #: mask over the propagated match lengths (a deferral chain is handled
-    #: by the commit scan, not by sequential re-evaluation). Ratio lever:
-    #: trades a tiny amount of matcher work for strictly better parses on
-    #: text. NOTE: currently routes the matcher through the XLA path on TPU
-    #: (the fused Pallas matcher implements greedy only).
-    lazy: int = 0
+    #: by the commit scan, not by sequential re-evaluation; implemented in
+    #: both the XLA matcher and the fused Pallas kernel, bit-identically).
+    #: Swept 0-3 on v5e: g=2 is speed-NEUTRAL (462 vs 460 us/block — the
+    #: mask is 4 fused elementwise ops) and strictly improves ratio on text
+    #: (mtg corpus -3454 B, real-50000 -58 B, corpus bars unchanged); g=1
+    #: ties break badly (defers into equal-length chains), g=3 gives back
+    #: half of g=2's win. K=13/12 + probe dedup remain ratio-infeasible
+    #: even with the lazy cushion (alignerTestData +5/+15 B vs golden).
+    lazy: int = 2
 
     #: Mesh axis name for data-parallel block sharding.
     dp_axis: str = "dp"

@@ -386,8 +386,8 @@ def _jump(mlp: jax.Array) -> jax.Array:
 def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array,
                  lazy: int = 0):
     """Candidate table -> (jump, offset): XLA reference path, mirrored
-    bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py) at
-    lazy=0 (the kernel implements greedy parsing only)."""
+    bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py),
+    including the lazy-deferral mask."""
     off_s = _sticky_offsets(cands)
     ml = _match_lengths(off_s, n, iota)
     # Profitability filter: short matches with 3-byte copy2 tags that also
@@ -439,8 +439,7 @@ def encode_block(block: jax.Array, n: jax.Array,
 
     # --- MATCH + EXTEND ---
     key = _window_keys(block, n, iota)
-    if (jax.devices()[0].platform == "tpu" and cfg.flatten != "off"
-            and not cfg.lazy):
+    if jax.devices()[0].platform == "tpu" and cfg.flatten != "off":
         # Fused VMEM-resident kernel (bit-identical to the XLA path
         # below), fed the packed candidate form straight from the restore
         # sort (halves its VMEM input block and skips the XLA unpack).
@@ -449,7 +448,7 @@ def encode_block(block: jax.Array, n: jax.Array,
                                          cfg.flatten, cfg.probes,
                                          packed=True)
         jump, off = pallas_matcher.matcher_block_packed(
-            pref, words, n, cfg.candidates)
+            pref, words, n, cfg.candidates, cfg.lazy)
     else:
         cands = _candidate_offsets(key, n, iota, cfg.candidates,
                                    cfg.flatten, cfg.probes)

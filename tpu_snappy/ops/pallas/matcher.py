@@ -1,9 +1,9 @@
 """Pallas TPU kernel: fused match pipeline (sticky offsets -> match lengths
 -> profitability filter -> suffix propagation -> greedy jumps).
 
-Mirrors ops/encode.py's _sticky_offsets/_match_lengths/_propagate/_jump
-exactly (same windowed Hillis-Steele structure, same tie-breaks), but fused
-in VMEM: the XLA version materializes ~40 intermediate (N,) arrays through
+Mirrors ops/encode.py's _sticky_offsets/_match_lengths/_propagate/
+lazy-deferral/_jump exactly (same windowed Hillis-Steele structure, same
+tie-breaks), but fused in VMEM: the XLA version materializes ~40 intermediate (N,) arrays through
 HBM; here everything between the candidate table and the (jump, offset)
 pair stays on-chip.
 
@@ -47,7 +47,7 @@ def _rollb(x, s):
     return jnp.where(lane < LANES - s, z, zc)
 
 
-def _make_kernel(k: int, packed: bool):
+def _make_kernel(k: int, packed: bool, lazy: int = 0):
     def kernel(cands_ref, *rest):
         if packed:
             pref_ref, n_ref, jump_ref, off_ref = rest
@@ -141,6 +141,15 @@ def _make_kernel(k: int, packed: bool):
             offp = jnp.where(take, ao, offp)
         mlp = jnp.minimum(pv - gidx, 68)
 
+        if lazy:
+            # Lazy one-position lookahead (mirrors encode._matcher_xla):
+            # defer the match at i to a literal whenever the match at i+1
+            # is >= `lazy` bytes longer. _rollb wraps, so the last position
+            # (no successor) is masked to 0 like the XLA .at[-1].set(0).
+            nxt = jnp.where(gidx == N - 1, 0, _rollb(mlp, 1))
+            defer = (mlp >= 4) & (mlp < 64) & (nxt >= mlp + lazy)
+            mlp = jnp.where(defer, 0, mlp)
+
         # --- greedy jump rule ---
         jump_ref[:] = jnp.where(
             mlp < 4, 1,
@@ -154,14 +163,14 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=())
-def matcher_block(cands: jax.Array, n: jax.Array):
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def matcher_block(cands: jax.Array, n: jax.Array, lazy: int = 0):
     """cands: (N, K) int32 candidate offsets (column 0 = sticky default);
     n: scalar. Returns (jump (N,), off (N,))."""
     k = cands.shape[-1]
     c3 = jnp.moveaxis(cands, -1, 0).reshape(k, ROWS, LANES)
     outs = pl.pallas_call(
-        _make_kernel(k, False),
+        _make_kernel(k, False, lazy),
         in_specs=[
             pl.BlockSpec((k, ROWS, LANES), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -175,16 +184,16 @@ def matcher_block(cands: jax.Array, n: jax.Array):
     return outs[0].reshape(N), outs[1].reshape(N)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "lazy"))
 def matcher_block_packed(pref: jax.Array, words: jax.Array, n: jax.Array,
-                         k: int):
+                         k: int, lazy: int = 0):
     """Packed-table form: pref (N,) int32 gated default + words (N, K//2)
     u32 restore-sort payloads (two 16-bit offsets per word, unpacked
     in-kernel). Bit-identical to matcher_block on the unpacked table."""
     w3 = jnp.moveaxis(words.astype(jnp.int32), -1, 0).reshape(
         k // 2, ROWS, LANES)
     outs = pl.pallas_call(
-        _make_kernel(k, True),
+        _make_kernel(k, True, lazy),
         in_specs=[
             pl.BlockSpec((k // 2, ROWS, LANES), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
