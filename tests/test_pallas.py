@@ -219,6 +219,16 @@ def test_tiled_resolve_chains():
                 jnp.asarray(lit), jnp.asarray(s), variant=variant))
             assert (y == lit[_fixed_point(s)]).all(), variant
 
+    # Dual-fragment form: each half bit-identical to the fori variant,
+    # including asymmetric resolved flags (frag 0 at fixpoint, frag 1 not).
+    lit2 = np.stack([lit, np.roll(lit, 7)])
+    src2 = np.stack([ident, cross])
+    y2 = np.asarray(TR.resolve_tiled_dual(
+        jnp.asarray(lit2), jnp.asarray(src2),
+        resolved2=jnp.asarray([True, False])))
+    assert (y2[0] == lit2[0]).all()
+    assert (y2[1] == lit2[1][_fixed_point(cross)]).all()
+
 
 def test_resolve_decode_equivalence():
     # Kernel vs XLA resolution must produce identical decodes on real

@@ -256,6 +256,101 @@ def _make_kernel_pair(tile: int, check: int):
     return kernel
 
 
+def _make_kernel_dual(tile: int, check: int):
+    """Dual-fragment variant: resolves TWO independent fragments in one
+    kernel, interleaving their serial chains. Hypothesis under test: the
+    in-kernel one-hot-op cost (~8-10.5 us vs ~5.5 us for an independent
+    dispatched grid step) is partly *dependency stall* — each absorb waits
+    on the P-plane write of the previous tile — and two fragments' chains
+    are mutually independent, so pairing their per-tile ops gives the
+    scheduler independent work to hide each chain's latency. Bit-identical
+    per fragment to the fori variant (separate P planes, separate local
+    fixpoints, separate res flags)."""
+    tr = tile // LO
+    nt = N // tile
+    max_local = tile.bit_length()
+
+    def kernel(res_ref, src_ref, lit_ref, out_ref, p_ref):
+        # Stacked layout: fragment f owns rows [f*HI, (f+1)*HI).
+        p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        def local_fix(s, base, pre):
+            def one_round(s1):
+                d = s1 - base
+                in_t = d >= 0
+                dc = jnp.where(in_t, d, 0)
+                h_oh = ((dc >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((dc & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.float32)
+                z = (jax.lax.dot_general(
+                        h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+                return jnp.where(in_t, g, s1)
+
+            def cond(c):
+                _s, changed, r = c
+                return changed & (r < max_local)
+
+            def body(c):
+                s1, _, r = c
+                s2 = s1
+                for _ in range(check):
+                    s2 = one_round(s2)
+                return s2, jnp.any(s2 != s1), r + check
+
+            s, _, _ = jax.lax.while_loop(cond, body, (s, pre, jnp.int32(0)))
+            return s
+
+        def step(t, _):
+            base = t * tile
+            pos = base + (jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 0)
+                          * LO
+                          + jax.lax.broadcasted_iota(jnp.int32, (tr, LO), 1))
+            ss = []
+            for f in (0, 1):
+                s = src_ref[pl.ds(f * HI + t * tr, tr), :]
+                pre = (jnp.any((s >= base) & (s != pos))
+                       & (res_ref[0, f] == 0))
+                ss.append(local_fix(s, base, pre))
+
+            # Interleaved absorbs: the two dot chains read DISJOINT P
+            # halves and depend on different prior tiles — independent
+            # work for the scheduler while each chain's P write settles.
+            zs = []
+            for f, s in enumerate(ss):
+                h_oh = ((s >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((s & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.bfloat16)
+                z = jax.lax.dot_general(
+                    h_oh, p_ref[pl.ds(f * HI, HI), :],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                zs.append(jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                                  dtype=jnp.float32))
+            for f, byte in enumerate(zs):
+                p_ref[pl.ds(f * HI + t * tr, tr), :] = byte.astype(
+                    jnp.bfloat16)
+                out_ref[pl.ds(f * HI + t * tr, tr), :] = byte.astype(
+                    jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nt, step, 0)
+
+    return kernel
+
+
 def _make_kernel_grid(tile: int, check: int):
     """Grid-form variant: the tile loop rides the pallas grid instead of an
     in-kernel fori — dispatched grid steps pipeline their block DMA and
@@ -413,6 +508,37 @@ def _make_kernel_tri(tile: int, check: int):
 
 def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "check"))
+def resolve_tiled_dual(lit2: jax.Array, src2: jax.Array,
+                       resolved2: jax.Array | None = None,
+                       tile: int = TILE, check: int = 1) -> jax.Array:
+    """Two-fragment resolve_tiled in one kernel (variant='dual'): lit2/src2
+    are (2, 65536); returns (2, 65536) int32 bytes, each half bit-identical
+    to resolve_tiled on that fragment. resolved2: optional (2,) bool."""
+    assert N % tile == 0 and tile % LO == 0, tile
+    if resolved2 is None:
+        resolved2 = jnp.zeros((2,), jnp.bool_)
+    res = jnp.broadcast_to(resolved2.astype(jnp.int32)[None, :2],
+                           (8, 128)[:1] + (2,))
+    res = jnp.pad(res, ((0, 7), (0, 126)))  # (8, 128) tile, flags at [0, :2]
+    out = pl.pallas_call(
+        _make_kernel_dual(tile, check),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HI, LO), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * HI, LO), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * HI, LO), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2 * HI, LO), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2 * HI, LO), jnp.bfloat16)],
+        interpret=_interpret(),
+    )(res, src2.reshape(2 * HI, LO), lit2.reshape(2 * HI, LO))
+    return out.reshape(2, N)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "check", "variant"))
