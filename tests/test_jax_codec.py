@@ -63,6 +63,23 @@ def test_corpus_roundtrip_and_ratio(name):
 
 
 @pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")
+def test_sig_sticky_mode_roundtrip_and_bars():
+    """The signature sticky composition (cfg.sticky='sig') must round-trip
+    against both goldens and still clear every ratio bar (its collisions
+    may only change tie-breaks to other valid candidates)."""
+    import dataclasses
+    from tpu_snappy.config import DEFAULT_CONFIG
+    cfg = dataclasses.replace(DEFAULT_CONFIG, sticky="sig")
+    for name in ["fox-in-socks.txt", "alignerTestData.txt",
+                 "real-50000.txt", "repeating-50000.txt"]:
+        data = corpus.load(name)
+        comp = api.compress(data, cfg)
+        assert golden.uncompress(comp) == data, name
+        assert ref.decompress(comp) == data, name
+        assert len(comp) <= len(golden.compress(data)), name
+
+
+@pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")
 def test_baseline_named_files_strictly_at_or_below():
     # BASELINE.json names these files for the ratio bar explicitly.
     total_ours = total_gold = 0

@@ -479,18 +479,18 @@ def test_matcher_kernel_matches_xla():
         block = jnp.asarray(buf)
         key = E._window_keys(block, jnp.int32(n), iota)
         cands = E._candidate_offsets(key, jnp.int32(n), iota, 16, "class")
-        for lazy in (0, 2):
-            jk, ok_ = M.matcher_block(cands, jnp.int32(n), lazy)
-            jx, ox = E._matcher_xla(cands, jnp.int32(n), iota, lazy)
-            assert (np.asarray(jk) == np.asarray(jx)).all(), lazy
-            assert (np.asarray(ok_) == np.asarray(ox)).all(), lazy
+        for lazy, sticky in ((0, "exact"), (2, "exact"), (2, "sig")):
+            jk, ok_ = M.matcher_block(cands, jnp.int32(n), lazy, sticky)
+            jx, ox = E._matcher_xla(cands, jnp.int32(n), iota, lazy, sticky)
+            assert (np.asarray(jk) == np.asarray(jx)).all(), (lazy, sticky)
+            assert (np.asarray(ok_) == np.asarray(ox)).all(), (lazy, sticky)
             # and the packed-table kernel form (in-kernel 16-bit unpack)
             pref, words = E._candidate_offsets(key, jnp.int32(n), iota, 16,
                                                "class", packed=True)
             jp, op = M.matcher_block_packed(pref, words, jnp.int32(n), 16,
-                                            lazy)
-            assert (np.asarray(jp) == np.asarray(jx)).all(), lazy
-            assert (np.asarray(op) == np.asarray(ox)).all(), lazy
+                                            lazy, sticky)
+            assert (np.asarray(jp) == np.asarray(jx)).all(), (lazy, sticky)
+            assert (np.asarray(op) == np.asarray(ox)).all(), (lazy, sticky)
 
 
 def test_scatter_windowed_transport_shape():

@@ -89,6 +89,18 @@ class CodecConfig:
     #: even with the lazy cushion (alignerTestData +5/+15 B vs golden).
     lazy: int = 2
 
+    #: Sticky-composition membership strategy. "exact" = K^2 compares per
+    #: level (the reference semantics); "sig" = 32-bucket hash-signature
+    #: membership (O(K) per level) with a final exact re-verification gate,
+    #: so every emitted offset stays sort-verified either way — a signature
+    #: collision can only change a tie-break to another valid candidate.
+    #: Measured on v5e (mtg, 24-wide waves): "sig" saves only ~3% encode
+    #: (444 vs 458 us/block — the membership compares are a smaller share
+    #: of the fused matcher than the op count suggests) and costs 1.4%
+    #: ratio on text (1302409 vs 1284628 B); every BASELINE bar still
+    #: clears. Kept as a knob; "exact" stays the default.
+    sticky: str = "exact"
+
     #: Mesh axis name for data-parallel block sharding.
     dp_axis: str = "dp"
 

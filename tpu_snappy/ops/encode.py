@@ -271,6 +271,63 @@ def _flat_gate(flat: jax.Array, c0: jax.Array) -> jax.Array:
     return jnp.where(agree & ((c0 > 68) | ~agree_near), flat, c0)
 
 
+def _sig_bit(x: jax.Array) -> jax.Array:
+    """5-bit multiplicative-hash bucket of an offset, as a u32 one-bit
+    signature. Knuth's golden-ratio constant decorrelates the consecutive
+    offset ladders byte runs generate (low bits alone would collide the
+    whole ladder into adjacent buckets)."""
+    h = (x.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> 27
+    return (jnp.uint32(1) << h).astype(jnp.uint32)
+
+
+def _sticky_offsets_sig(cands: jax.Array) -> jax.Array:
+    """Signature-based sticky composition (cfg.sticky='sig').
+
+    The exact composition (_sticky_offsets) pays K^2 membership compares
+    per level; here each keep-set is summarized as a 32-bit bucket bitmask
+    and membership is one AND — O(K) signature builds + O(K) tests per
+    level. False positives (two offsets in one of 32 buckets) can let a
+    dropped value ride a level, so the final choice is re-verified exactly
+    against the position's own candidate table and falls back to the
+    nearest candidate when unverified — every emitted offset therefore
+    remains sort-verified (the codec's core invariant), and a collision
+    costs at most a different valid tie-break. Mirrored bit-for-bit by the
+    Pallas matcher kernel at sticky='sig'."""
+    n, k = cands.shape
+    keeps = cands
+    dflt = cands[..., 0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def compose(shift, state):
+        a_keep, a_dflt = (jnp.roll(state[0], shift, axis=0),
+                          jnp.roll(state[1], shift, axis=0))
+        b_keep, b_dflt = state
+        mask = functools.reduce(
+            jnp.bitwise_or,
+            [jnp.where(b_keep[..., j] > 0, _sig_bit(b_keep[..., j]),
+                       jnp.uint32(0)) for j in range(k)])
+
+        def in_b(x):
+            return ((mask & _sig_bit(x)) != 0) & (x > 0)
+
+        keep = jnp.where(
+            jnp.stack([in_b(a_keep[..., j]) for j in range(k)], axis=-1),
+            a_keep, 0)
+        d = jnp.where(in_b(a_dflt), a_dflt, b_dflt)
+        edge = (iota < shift)
+        keep = jnp.where(edge[..., None], b_keep, keep)
+        d = jnp.where(edge, b_dflt, d)
+        return keep, d
+
+    state = (keeps, dflt)
+    for lvl in range(STICKY_LEVELS):
+        state = compose(4 << lvl, state)
+    d = state[1]
+    # Exact re-verification gate (restores the invariant signatures relax).
+    verified = jnp.any((d[..., None] == cands) & (d[..., None] > 0), axis=-1)
+    return jnp.where(verified, d, cands[..., 0])
+
+
 def _sticky_offsets(cands: jax.Array) -> jax.Array:
     """Chain-stable offset choice per position.
 
@@ -384,11 +441,12 @@ def _jump(mlp: jax.Array) -> jax.Array:
 
 
 def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array,
-                 lazy: int = 0):
+                 lazy: int = 0, sticky: str = "exact"):
     """Candidate table -> (jump, offset): XLA reference path, mirrored
     bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py),
-    including the lazy-deferral mask."""
-    off_s = _sticky_offsets(cands)
+    including the lazy-deferral mask and the sticky-composition mode."""
+    off_s = (_sticky_offsets_sig(cands) if sticky == "sig"
+             else _sticky_offsets(cands))
     ml = _match_lengths(off_s, n, iota)
     # Profitability filter: short matches with 3-byte copy2 tags that also
     # split a literal run are net-negative (software Snappy's skip heuristic
@@ -448,11 +506,11 @@ def encode_block(block: jax.Array, n: jax.Array,
                                          cfg.flatten, cfg.probes,
                                          packed=True)
         jump, off = pallas_matcher.matcher_block_packed(
-            pref, words, n, cfg.candidates, cfg.lazy)
+            pref, words, n, cfg.candidates, cfg.lazy, cfg.sticky)
     else:
         cands = _candidate_offsets(key, n, iota, cfg.candidates,
                                    cfg.flatten, cfg.probes)
-        jump, off = _matcher_xla(cands, n, iota, cfg.lazy)
+        jump, off = _matcher_xla(cands, n, iota, cfg.lazy, cfg.sticky)
 
     # --- COMMIT ---
     # Sequential entry scan on TPU (0.23 vs 0.27 ms/block A/B'd on v5e);

@@ -47,7 +47,15 @@ def _rollb(x, s):
     return jnp.where(lane < LANES - s, z, zc)
 
 
-def _make_kernel(k: int, packed: bool, lazy: int = 0):
+def _sig_bit(x):
+    """Mirror of encode._sig_bit: 5-bit multiplicative-hash bucket as a
+    one-bit u32 signature (bit-identical)."""
+    h = (x.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> 27
+    return (jnp.uint32(1) << h).astype(jnp.uint32)
+
+
+def _make_kernel(k: int, packed: bool, lazy: int = 0,
+                 sticky: str = "exact"):
     def kernel(cands_ref, *rest):
         if packed:
             pref_ref, n_ref, jump_ref, off_ref = rest
@@ -77,17 +85,29 @@ def _make_kernel(k: int, packed: bool, lazy: int = 0):
         else:
             keeps = [cands_ref[j] for j in range(k)]
         dflt = keeps[0]
+        cands0 = keeps if sticky == "sig" else None
         for lvl in range(STICKY_LEVELS):
             s = 4 << lvl
 
-            def in_b(x):
-                # (x == kp) & (x > 0) per keep would re-test x > 0 K times;
-                # hoisting it to one final mask cuts a third of the 17*K
-                # membership ops per level (identical truth table).
-                hit = x == keeps[0]
-                for kp in keeps[1:]:
-                    hit |= x == kp
-                return hit & (x > 0)
+            if sticky == "sig":
+                # Signature membership (encode._sticky_offsets_sig):
+                # one u32 bucket mask per position, one AND per test.
+                mask = jnp.uint32(0)
+                for kp in keeps:
+                    mask |= jnp.where(kp > 0, _sig_bit(kp), jnp.uint32(0))
+
+                def in_b(x, mask=mask):
+                    return ((mask & _sig_bit(x)) != 0) & (x > 0)
+            else:
+                def in_b(x, keeps=keeps):
+                    # (x == kp) & (x > 0) per keep would re-test x > 0 K
+                    # times; hoisting it to one final mask cuts a third of
+                    # the 17*K membership ops per level (identical truth
+                    # table).
+                    hit = x == keeps[0]
+                    for kp in keeps[1:]:
+                        hit |= x == kp
+                    return hit & (x > 0)
 
             # Window edge: below gidx=s there is no left context — the
             # composed transfer stays the current one (identity on its own
@@ -100,6 +120,12 @@ def _make_kernel(k: int, packed: bool, lazy: int = 0):
             dflt = jnp.where(edge, dflt, jnp.where(in_b(rd), rd, dflt))
             keeps = new_keeps
         off = dflt
+        if sticky == "sig":
+            # Exact re-verification gate (see encode._sticky_offsets_sig).
+            ver = (off == cands0[0]) & (off > 0)
+            for kp in cands0[1:]:
+                ver |= (off == kp) & (off > 0)
+            off = jnp.where(ver, off, cands0[0])
 
         # --- match lengths: stride-4 links, capped doubling, phase max ---
         m4 = off > 0
@@ -163,14 +189,15 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("lazy",))
-def matcher_block(cands: jax.Array, n: jax.Array, lazy: int = 0):
+@functools.partial(jax.jit, static_argnames=("lazy", "sticky"))
+def matcher_block(cands: jax.Array, n: jax.Array, lazy: int = 0,
+                  sticky: str = "exact"):
     """cands: (N, K) int32 candidate offsets (column 0 = sticky default);
     n: scalar. Returns (jump (N,), off (N,))."""
     k = cands.shape[-1]
     c3 = jnp.moveaxis(cands, -1, 0).reshape(k, ROWS, LANES)
     outs = pl.pallas_call(
-        _make_kernel(k, False, lazy),
+        _make_kernel(k, False, lazy, sticky),
         in_specs=[
             pl.BlockSpec((k, ROWS, LANES), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -184,16 +211,16 @@ def matcher_block(cands: jax.Array, n: jax.Array, lazy: int = 0):
     return outs[0].reshape(N), outs[1].reshape(N)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "lazy"))
+@functools.partial(jax.jit, static_argnames=("k", "lazy", "sticky"))
 def matcher_block_packed(pref: jax.Array, words: jax.Array, n: jax.Array,
-                         k: int, lazy: int = 0):
+                         k: int, lazy: int = 0, sticky: str = "exact"):
     """Packed-table form: pref (N,) int32 gated default + words (N, K//2)
     u32 restore-sort payloads (two 16-bit offsets per word, unpacked
     in-kernel). Bit-identical to matcher_block on the unpacked table."""
     w3 = jnp.moveaxis(words.astype(jnp.int32), -1, 0).reshape(
         k // 2, ROWS, LANES)
     outs = pl.pallas_call(
-        _make_kernel(k, True, lazy),
+        _make_kernel(k, True, lazy, sticky),
         in_specs=[
             pl.BlockSpec((k // 2, ROWS, LANES), lambda: (0, 0, 0),
                          memory_space=pltpu.VMEM),
