@@ -146,10 +146,19 @@ def _make_kernel(k: int, packed: bool, lazy: int = 0,
         ml = jnp.minimum(ml, n - gidx)
 
         # --- profitability filter (window count of other match starts) ---
+        # Doubling window-sum: 5 zero-filled rolls instead of 16 (w covers
+        # [i-15, i] after 4 doublings; one more +1 roll shifts it to the
+        # [i-16, i-1] window the filter needs). Integer-exact, identical
+        # to the 16-term sum.
         m4i = (ml > 0).astype(jnp.int32)
-        before16 = jnp.zeros((ROWS, LANES), jnp.int32)
-        for t in range(1, 17):
-            before16 += jnp.where(gidx >= t, _rollf(m4i, t), 0)
+
+        def rollz(x, t):
+            return jnp.where(gidx >= t, _rollf(x, t), 0)
+
+        w = m4i
+        for t in (1, 2, 4, 8):
+            w = w + rollz(w, t)
+        before16 = rollz(w, 1)
         isolated = before16 == 0
         near = off < 2048
         keep = ((ml >= 5) | near) & ((ml >= 6) | near | ~isolated)
