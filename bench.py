@@ -107,7 +107,11 @@ def main():
     # The first timed window after a fresh compile is unreliable (measured
     # 0.82 s vs 0.18 s for the same 5 passes minutes apart — deferred
     # autotune/transfer stragglers), so drain two warmup passes first.
-    ITERS = 5
+    # ITERS amortizes the single closing sync: the tunnel round-trip is
+    # ~30 ms, a full corpus pass ~22 ms, so 5 iterations left ~5% of pure
+    # link RTT in the "device" number (measured via a stage sweep whose
+    # first-stage marginal tracked RTT/ITERS). 20 bounds that bias < 1%.
+    ITERS = 20
     for _ in range(2):
         last = enc(blocks_d, lens_d)[1]
     np.asarray(jnp.ravel(last)[0])

@@ -290,3 +290,139 @@ int sr_scan_index(const uint8_t* in, size_t n, size_t start,
 }
 
 }  // extern "C"
+
+// ---- Framing format (framing_format.txt): CRC-32C + chunk layer ----
+
+namespace {
+
+struct Crc32cTables {
+  uint32_t t[8][256];
+  Crc32cTables() {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; k++)
+        c = (c & 1) ? (c >> 1) ^ 0x82f63b78u : c >> 1;
+      t[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; i++)
+      for (int j = 1; j < 8; j++)
+        t[j][i] = (t[j - 1][i] >> 8) ^ t[0][t[j - 1][i] & 0xff];
+  }
+};
+const Crc32cTables kCrc;
+
+inline uint32_t MaskCrc(uint32_t c) {
+  return ((c >> 15) | (c << 17)) + 0xa282ead8u;
+}
+
+inline void Store32(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
+
+constexpr uint8_t kStreamId[10] = {0xff, 0x06, 0x00, 0x00,
+                                   's',  'N',  'a',  'P',  'p', 'Y'};
+
+}  // namespace
+
+extern "C" {
+
+uint32_t sr_crc32c(const uint8_t* in, size_t n) {
+  uint32_t c = 0xffffffffu;
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {  // slice-by-8
+    uint32_t lo = Load32(in + i) ^ c;
+    uint32_t hi = Load32(in + i + 4);
+    c = kCrc.t[7][lo & 0xff] ^ kCrc.t[6][(lo >> 8) & 0xff] ^
+        kCrc.t[5][(lo >> 16) & 0xff] ^ kCrc.t[4][lo >> 24] ^
+        kCrc.t[3][hi & 0xff] ^ kCrc.t[2][(hi >> 8) & 0xff] ^
+        kCrc.t[1][(hi >> 16) & 0xff] ^ kCrc.t[0][hi >> 24];
+  }
+  for (; i < n; i++) c = (c >> 8) ^ kCrc.t[0][(c ^ in[i]) & 0xff];
+  return c ^ 0xffffffffu;
+}
+
+size_t sr_max_framed_length(size_t n) {
+  // Stream id + per-chunk (4-byte header + 4-byte CRC), all-uncompressed.
+  return sizeof(kStreamId) + n + 8 * (n / kBlockSize + 1) + 8;
+}
+
+size_t sr_compress_framed(const uint8_t* in, size_t n, uint8_t* out,
+                          int mode) {
+  uint8_t* op = out;
+  std::memcpy(op, kStreamId, sizeof(kStreamId));
+  op += sizeof(kStreamId);
+  std::vector<uint8_t> scratch(sr_max_compressed_length(kBlockSize));
+  for (size_t start = 0; start < n || (n == 0 && start == 0);
+       start += kBlockSize) {
+    if (n == 0) break;  // empty input: stream id only
+    const size_t blen = (n - start < kBlockSize) ? n - start : kBlockSize;
+    const uint32_t crc = MaskCrc(sr_crc32c(in + start, blen));
+    const size_t csize =
+        sr_compress(in + start, blen, scratch.data(), mode);
+    if (csize < blen) {  // compressed data chunk (type 0x00)
+      op[0] = 0x00;
+      const uint32_t len = static_cast<uint32_t>(csize + 4);
+      op[1] = len & 0xff; op[2] = (len >> 8) & 0xff; op[3] = (len >> 16) & 0xff;
+      Store32(op + 4, crc);
+      std::memcpy(op + 8, scratch.data(), csize);
+      op += 8 + csize;
+    } else {  // uncompressed chunk (type 0x01)
+      op[0] = 0x01;
+      const uint32_t len = static_cast<uint32_t>(blen + 4);
+      op[1] = len & 0xff; op[2] = (len >> 8) & 0xff; op[3] = (len >> 16) & 0xff;
+      Store32(op + 4, crc);
+      std::memcpy(op + 8, in + start, blen);
+      op += 8 + blen;
+    }
+  }
+  return static_cast<size_t>(op - out);
+}
+
+int sr_uncompress_framed(const uint8_t* in, size_t n, uint8_t* out,
+                         size_t out_cap, uint64_t* out_len) {
+  if (n < sizeof(kStreamId) ||
+      std::memcmp(in, kStreamId, sizeof(kStreamId)) != 0)
+    return SR_ERR_BAD_CHUNK;
+  size_t ip = sizeof(kStreamId);
+  uint64_t op = 0;
+  std::vector<uint8_t> scratch(kBlockSize);
+  while (ip < n) {
+    if (ip + 4 > n) return SR_ERR_TRUNCATED;
+    const uint8_t type = in[ip];
+    const uint32_t len = in[ip + 1] | (in[ip + 2] << 8) | (in[ip + 3] << 16);
+    ip += 4;
+    if (ip + len > n) return SR_ERR_TRUNCATED;
+    if (type == 0xff) {  // repeated stream identifier
+      if (len != 6 || std::memcmp(in + ip, kStreamId + 4, 6) != 0)
+        return SR_ERR_BAD_CHUNK;
+    } else if (type == 0x00) {  // compressed data
+      if (len < 4) return SR_ERR_BAD_CHUNK;
+      const uint32_t want = Load32(in + ip);
+      uint64_t ulen = 0;
+      int rc = sr_uncompress(in + ip + 4, len - 4, scratch.data(),
+                             scratch.size(), &ulen);
+      if (rc != SR_OK) return rc;
+      if (ulen > kBlockSize) return SR_ERR_BAD_CHUNK;
+      if (MaskCrc(sr_crc32c(scratch.data(), ulen)) != want)
+        return SR_ERR_CRC;
+      if (op + ulen > out_cap) return SR_ERR_CAPACITY;
+      std::memcpy(out + op, scratch.data(), ulen);
+      op += ulen;
+    } else if (type == 0x01) {  // uncompressed data
+      if (len < 4 || len - 4 > kBlockSize) return SR_ERR_BAD_CHUNK;
+      const uint32_t want = Load32(in + ip);
+      if (MaskCrc(sr_crc32c(in + ip + 4, len - 4)) != want)
+        return SR_ERR_CRC;
+      if (op + (len - 4) > out_cap) return SR_ERR_CAPACITY;
+      std::memcpy(out + op, in + ip + 4, len - 4);
+      op += len - 4;
+    } else if (type == 0xfe || type >= 0x80) {
+      // padding / reserved skippable: ignore
+    } else {
+      return SR_ERR_BAD_CHUNK;  // 0x02-0x7f reserved unskippable
+    }
+    ip += len;
+  }
+  *out_len = op;
+  return SR_OK;
+}
+
+}  // extern "C"

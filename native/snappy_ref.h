@@ -31,6 +31,8 @@ enum {
   SR_ERR_LENGTH_MISMATCH = 3,
   SR_ERR_CAPACITY = 4,
   SR_ERR_BAD_VARINT = 5,
+  SR_ERR_CRC = 6,
+  SR_ERR_BAD_CHUNK = 7,
 };
 
 enum {
@@ -64,6 +66,29 @@ int sr_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap,
 int sr_scan_index(const uint8_t* in, size_t n, size_t start,
                   uint64_t expected_out, uint32_t* comp_off,
                   uint32_t* out_len, size_t max_frags, uint32_t* num_frags);
+
+// ---- Framing format (the official Snappy streaming container) ----
+// Spec: google/snappy framing_format.txt — chunked stream with per-chunk
+// CRC-32C (Castagnoli) checksums, masked as ((crc>>15)|(crc<<17))+0xa282ead8.
+
+// CRC-32C of n bytes (unmasked).
+uint32_t sr_crc32c(const uint8_t* in, size_t n);
+
+// Worst-case framed size for n input bytes (all-uncompressed chunks).
+size_t sr_max_framed_length(size_t n);
+
+// Compress n bytes into a framed stream (stream-identifier chunk + one
+// data chunk per 64 KB; compressed chunks only where compression saves).
+// Returns the framed size. `mode` as for sr_compress.
+size_t sr_compress_framed(const uint8_t* in, size_t n, uint8_t* out,
+                          int mode);
+
+// Decompress a framed stream with full validation (chunk structure, CRCs).
+// Writes the output size to *out_len. Returns SR_OK or an error code
+// (SR_ERR_CRC on checksum mismatch, SR_ERR_BAD_CHUNK on a reserved
+// unskippable chunk or a malformed stream identifier).
+int sr_uncompress_framed(const uint8_t* in, size_t n, uint8_t* out,
+                         size_t out_cap, uint64_t* out_len);
 
 #ifdef __cplusplus
 }  // extern "C"

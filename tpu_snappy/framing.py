@@ -1,0 +1,246 @@
+"""Snappy framing format (the official streaming container).
+
+Spec: google/snappy `framing_format.txt` — a chunked stream carrying a
+masked CRC-32C (Castagnoli) per data chunk, with at most 65536 uncompressed
+bytes per chunk. The reference accelerator stops at raw block streams
+(`CompressionAccelerator.scala` emits bare elements; even the varint
+preamble is absent — SURVEY.md §0.2); this layer completes the production
+container story, and it maps 1:1 onto the TPU design: one 64 KB block =
+one chunk, so the same data-parallel block pipelines encode/decode framed
+streams with no re-batching.
+
+Two independent implementations exist for cross-validation: this module
+(device codec + NumPy CRC) and the native C++ one (`native/snappy_ref.cc`
+sr_compress_framed/sr_uncompress_framed, slice-by-8 CRC) — tests assert
+both directions between them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import format as fmt
+from .config import CodecConfig, DEFAULT_CONFIG
+
+#: Chunk types (framing_format.txt §4).
+CHUNK_STREAM_ID = 0xFF
+CHUNK_COMPRESSED = 0x00
+CHUNK_UNCOMPRESSED = 0x01
+CHUNK_PADDING = 0xFE
+
+STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+
+#: Max uncompressed bytes per data chunk (spec-fixed; equals our block size).
+MAX_CHUNK = 65536
+
+
+# ---- CRC-32C (Castagnoli), NumPy slice-by-8, batched across chunks ----
+
+def _make_tables() -> np.ndarray:
+    t = np.zeros((8, 256), dtype=np.uint32)
+    poly = np.uint32(0x82F63B78)
+    for i in range(256):
+        c = np.uint32(i)
+        for _ in range(8):
+            c = (c >> np.uint32(1)) ^ (poly if c & np.uint32(1) else np.uint32(0))
+        t[0, i] = c
+    for j in range(1, 8):
+        t[j] = (t[j - 1] >> np.uint32(8)) ^ t[0, t[j - 1] & np.uint32(0xFF)]
+    return t
+
+
+_T = _make_tables()
+
+
+def crc32c(data: bytes | np.ndarray) -> int:
+    """CRC-32C of one buffer (unmasked)."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(1, -1)
+    return int(crc32c_batch(arr)[0])
+
+
+def crc32c_batch(rows: np.ndarray) -> np.ndarray:
+    """CRC-32C of every row of a (C, L) uint8 matrix — the whole corpus'
+    chunk checksums in one vectorized pass (slice-by-8 over u32 words)."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    c = np.full(rows.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    L = rows.shape[1]
+    k8 = L // 8 * 8
+    if k8:
+        w = rows[:, :k8].reshape(-1).view(np.uint32).reshape(rows.shape[0], -1)
+        t0, t1, t2, t3, t4, t5, t6, t7 = _T
+        m = np.uint32(0xFF)
+        for j in range(0, w.shape[1], 2):
+            lo = w[:, j] ^ c
+            hi = w[:, j + 1]
+            c = (t7[lo & m] ^ t6[(lo >> np.uint32(8)) & m]
+                 ^ t5[(lo >> np.uint32(16)) & m] ^ t4[lo >> np.uint32(24)]
+                 ^ t3[hi & m] ^ t2[(hi >> np.uint32(8)) & m]
+                 ^ t1[(hi >> np.uint32(16)) & m] ^ t0[hi >> np.uint32(24)])
+    for j in range(k8, L):
+        c = (c >> np.uint32(8)) ^ _T[0, (c ^ rows[:, j]) & np.uint32(0xFF)]
+    return c ^ np.uint32(0xFFFFFFFF)
+
+
+def mask(crc: int) -> int:
+    """The spec's CRC masking (rotate-right 15 + constant), so data that
+    contains embedded CRCs doesn't feed back into its own checksum."""
+    crc &= 0xFFFFFFFF
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def unmask(m: int) -> int:
+    c = (m - 0xA282EAD8) & 0xFFFFFFFF
+    return ((c >> 17) | (c << 15)) & 0xFFFFFFFF
+
+
+# ---- Framed encode / decode on the device block pipelines ----
+
+def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+    """Compress to a framed stream: one data chunk per 64 KB block, all
+    blocks encoded by the batched device pipeline in one pass; a chunk is
+    emitted uncompressed when compression would not shrink it (the spec's
+    recommendation — incompressible data costs 8 bytes per 64 KB, not the
+    raw-stream worst case)."""
+    from .ops import encode as ops_encode
+    from . import api
+
+    parts = [STREAM_ID]
+    if not data:
+        return STREAM_ID
+
+    blocks, lengths = api._to_blocks(data, MAX_CHUNK)
+    nb = len(lengths)
+    if nb > api.API_WAVE:
+        pad = -nb % api.API_WAVE
+        if pad:
+            blocks_p = np.pad(blocks, ((0, pad), (0, 0)))
+            lengths_p = np.pad(lengths, (0, pad))
+        else:
+            blocks_p, lengths_p = blocks, lengths
+        out, out_lens = ops_encode.encode_corpus(blocks_p, lengths_p, cfg,
+                                                 wave=api.API_WAVE)
+    else:
+        out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
+    out = np.asarray(out)
+    out_lens = np.asarray(out_lens)
+    crcs = crc32c_batch(blocks)  # zero-padding is masked off below
+
+    pos = 0
+    for i in range(nb):
+        blen = int(lengths[i])
+        # Padded block rows share a width; a short final block needs its
+        # own CRC over just blen bytes.
+        crc = int(crcs[i]) if blen == MAX_CHUNK else crc32c(
+            blocks[i, :blen].tobytes())
+        payload = fmt.varint_encode(blen) + out[i, : out_lens[i]].tobytes()
+        if len(payload) < blen:
+            body = mask(crc).to_bytes(4, "little") + payload
+            parts.append(bytes([CHUNK_COMPRESSED]) +
+                         len(body).to_bytes(3, "little") + body)
+        else:
+            body = mask(crc).to_bytes(4, "little") + data[pos:pos + blen]
+            parts.append(bytes([CHUNK_UNCOMPRESSED]) +
+                         len(body).to_bytes(3, "little") + body)
+        pos += blen
+    return b"".join(parts)
+
+
+def _parse_chunks(framed: bytes):
+    """Split a framed stream into (type, payload-offset, payload-len) with
+    structural validation."""
+    if not framed.startswith(STREAM_ID):
+        raise ValueError("missing stream identifier chunk")
+    chunks = []
+    ip, n = len(STREAM_ID), len(framed)
+    while ip < n:
+        if ip + 4 > n:
+            raise ValueError("truncated chunk header")
+        typ = framed[ip]
+        ln = int.from_bytes(framed[ip + 1: ip + 4], "little")
+        ip += 4
+        if ip + ln > n:
+            raise ValueError("truncated chunk payload")
+        if typ == CHUNK_STREAM_ID:
+            if framed[ip - 4: ip + ln] != STREAM_ID:
+                raise ValueError("malformed repeated stream identifier")
+        elif typ in (CHUNK_COMPRESSED, CHUNK_UNCOMPRESSED):
+            if ln < 4:
+                raise ValueError("data chunk shorter than its checksum")
+            chunks.append((typ, ip, ln))
+        elif typ == CHUNK_PADDING or typ >= 0x80:
+            pass  # skippable
+        else:
+            raise ValueError(f"reserved unskippable chunk type {typ:#x}")
+        ip += ln
+    return chunks
+
+
+def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+    """Decompress + validate a framed stream (structure and every CRC).
+
+    All compressed chunks decode in one batched device pass: a chunk's
+    uncompressed size is <= 64 KB by spec, so each is exactly one fragment
+    of the fragment-parallel decoder — the framing layer IS the fragment
+    table."""
+    from .ops import decode as ops_decode
+    from . import api
+
+    chunks = _parse_chunks(framed)
+    comp_idx = [i for i, (t, _, _) in enumerate(chunks)
+                if t == CHUNK_COMPRESSED]
+    out_parts: list[bytes | None] = [None] * len(chunks)
+
+    if comp_idx:
+        clens = np.zeros(len(comp_idx), np.int32)
+        ulens = np.zeros(len(comp_idx), np.int32)
+        starts = []
+        for j, i in enumerate(comp_idx):
+            _, off, ln = chunks[i]
+            ulen, vstart = fmt.varint_decode(framed[off + 4: off + ln])
+            if ulen > MAX_CHUNK:
+                raise ValueError("chunk uncompressed size exceeds 65536")
+            clens[j] = ln - 4 - vstart
+            ulens[j] = ulen
+            starts.append(off + 4 + vstart)
+        if clens.max(initial=0) > ops_decode.FRAG_CAP:
+            raise ValueError("compressed chunk exceeds fragment capacity")
+        w = ops_decode.frag_width(clens)
+        frags = np.zeros((len(comp_idx), w), np.uint8)
+        for j, s in enumerate(starts):
+            frags[j, : clens[j]] = np.frombuffer(
+                framed[s: s + clens[j]], np.uint8)
+        nf = len(comp_idx)
+        if nf > api.API_WAVE:
+            pad = -nf % api.API_WAVE
+            fr = np.pad(frags, ((0, pad), (0, 0)))
+            cl = np.pad(clens, (0, pad))
+            ul = np.pad(ulens, (0, pad))
+            out, ok = ops_decode.decode_corpus(fr, cl, ul, wave=api.API_WAVE)
+            out, ok = np.asarray(out)[:nf], np.asarray(ok)[:nf]
+        else:
+            out, ok = ops_decode.decode_fragments(frags, clens, ulens, cfg)
+            out, ok = np.asarray(out), np.asarray(ok)
+        for j, i in enumerate(comp_idx):
+            _, off, ln = chunks[i]
+            if ok[j]:
+                piece = out[j, : ulens[j]].tobytes()
+            else:
+                # Exotic-but-valid or corrupt: the sequential host decoder
+                # settles it (decodes the former, raises on the latter).
+                from . import reference_codec
+                piece = reference_codec.decompress(framed[off + 4: off + ln])
+            want = unmask(int.from_bytes(framed[off: off + 4], "little"))
+            if crc32c(piece) != want:
+                raise ValueError(f"chunk {i}: CRC-32C mismatch")
+            out_parts[i] = piece
+
+    for i, (typ, off, ln) in enumerate(chunks):
+        if typ == CHUNK_UNCOMPRESSED:
+            piece = framed[off + 4: off + ln]
+            if ln - 4 > MAX_CHUNK:
+                raise ValueError("uncompressed chunk exceeds 65536")
+            want = unmask(int.from_bytes(framed[off: off + 4], "little"))
+            if crc32c(piece) != want:
+                raise ValueError(f"chunk {i}: CRC-32C mismatch")
+            out_parts[i] = piece
+    return b"".join(p for p in out_parts if p is not None)

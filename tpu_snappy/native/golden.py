@@ -26,6 +26,8 @@ _ERRORS = {
     3: "length mismatch",
     4: "output capacity too small",
     5: "bad varint",
+    6: "chunk CRC mismatch",
+    7: "bad chunk",
 }
 
 _lock = threading.Lock()
@@ -73,6 +75,19 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32),
             ]
+            lib.sr_crc32c.restype = ctypes.c_uint32
+            lib.sr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            lib.sr_max_framed_length.restype = ctypes.c_size_t
+            lib.sr_max_framed_length.argtypes = [ctypes.c_size_t]
+            lib.sr_compress_framed.restype = ctypes.c_size_t
+            lib.sr_compress_framed.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_int
+            ]
+            lib.sr_uncompress_framed.restype = ctypes.c_int
+            lib.sr_uncompress_framed.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+                ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64),
+            ]
             _lib = lib
     return _lib
 
@@ -109,6 +124,35 @@ def scan_index(comp: bytes, start: int, total: int, max_frags: int):
     f = nfrag.value
     return (np.frombuffer(offs, dtype=np.uint32)[:f].astype(np.int64),
             np.frombuffer(lens, dtype=np.uint32)[:f].astype(np.int64), f)
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, unmasked) via the native slice-by-8 path."""
+    return _load().sr_crc32c(data, len(data))
+
+
+def compress_framed(data: bytes, mode: int = MODE_BASELINE) -> bytes:
+    """Compress to the official Snappy framing format (framing_format.txt)."""
+    lib = _load()
+    cap = lib.sr_max_framed_length(len(data))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.sr_compress_framed(data, len(data), out, mode)
+    return out.raw[:n]
+
+
+def uncompress_framed(data: bytes, max_out: int | None = None) -> bytes:
+    """Decompress + fully validate a framed stream (structure and CRCs)."""
+    lib = _load()
+    # Framed streams carry no total-length preamble; size the buffer from
+    # the worst-case expansion (every chunk a full 64 KB uncompressed).
+    cap = max_out if max_out is not None else max(1, len(data) * 256)
+    out = ctypes.create_string_buffer(cap)
+    got = ctypes.c_uint64()
+    rc = lib.sr_uncompress_framed(data, len(data), out, cap,
+                                  ctypes.byref(got))
+    if rc:
+        raise ValueError(f"golden uncompress_framed: {_ERRORS.get(rc, rc)}")
+    return out.raw[: got.value]
 
 
 def uncompress(data: bytes) -> bytes:
