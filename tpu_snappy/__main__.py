@@ -27,16 +27,27 @@ def main(argv=None):
             p.add_argument("outfile", type=pathlib.Path)
         p.add_argument("--mesh", type=int, default=0,
                        help="shard over N devices (0 = single-device api)")
+        p.add_argument("--framed", action="store_true",
+                       help="Snappy framing format (chunked container "
+                            "with per-chunk CRC-32C) instead of a raw "
+                            "block stream")
         if name == "compress":
             p.add_argument("--stream", action="store_true",
                            help="wave-streamed encode (for huge inputs)")
             p.add_argument("--blocks-per-wave", type=int, default=64)
     args = ap.parse_args(argv)
 
-    from . import api
+    from . import api, framing
     from .parallel import mesh as meshlib, shard, streaming
 
     mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
+    if args.framed:
+        if getattr(args, "stream", False) or mesh:
+            ap.error("--framed currently implies the single-device api")
+
+        class api:  # noqa: N801 - same compress/decompress surface
+            compress = staticmethod(framing.compress)
+            decompress = staticmethod(framing.decompress)
 
     if args.cmd == "compress":
         n = args.infile.stat().st_size
