@@ -69,7 +69,9 @@ def test_streaming_resume_rejects_misaligned():
 
 
 def test_decode_error_names_fragment():
-    data = corpus.load("real-5000.txt")
+    # > 1 block so the device fragment path (not the small-input host
+    # fast-path) handles it and names the failing fragment.
+    data = corpus.load("all-mtg-cards.txt")[: 3 * fmt.BLOCK_SIZE]
     comp = bytearray(golden.compress(data))
     # Corrupt a copy tag's offset byte near the end to break validation
     # (offset beyond write head). Find a copy2 tag by scanning.
@@ -89,3 +91,46 @@ def test_decode_error_names_fragment():
             pos += 2 if kind == 1 else 3 if kind == 2 else 5
     with pytest.raises(ValueError, match="fragment"):
         api.decompress(bytes(comp))
+
+
+def test_small_input_host_fastpath():
+    # Sub-block inputs take the host codec (size-proportional latency, the
+    # reference's own profile) and still round-trip + hit the ratio bar.
+    data = corpus.load("real-5000.txt")
+    comp = api.compress(data)
+    assert api.decompress(comp) == data
+    assert golden.uncompress(comp) == data
+    assert len(comp) <= len(golden.compress(data))
+    # Corrupt small streams still raise precisely.
+    bad = bytearray(comp)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        api.decompress(bytes(bad))
+
+
+def test_fragment_granular_fallback(monkeypatch):
+    # One exotic fragment must NOT re-decode the whole stream: the splice
+    # path host-decodes only the failed fragment with the already-decoded
+    # prefix as context. Whole-stream host decompress is forbidden here.
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, fmt.BLOCK_SIZE, dtype=np.uint8).tobytes()
+    b = rng.integers(0, 256, fmt.BLOCK_SIZE - 74, dtype=np.uint8).tobytes()
+    stream = fmt.varint_encode(3 * fmt.BLOCK_SIZE) + b"".join([
+        fmt.literal_header(fmt.BLOCK_SIZE), a,
+        # fragment 2 opens with a copy reaching into fragment 1 (exotic),
+        # then fills out its 64 KB.
+        fmt.copy_element(1000, 64),
+        fmt.literal_header(len(b) + 10), b"0123456789", b,
+        # fragment 3 is ordinary.
+        fmt.literal_header(fmt.BLOCK_SIZE), a,
+    ])
+    expect = (a + a[fmt.BLOCK_SIZE - 1000: fmt.BLOCK_SIZE - 1000 + 64]
+              + b"0123456789" + b + a)
+
+    from tpu_snappy import reference_codec
+
+    def forbid(_comp):
+        raise AssertionError("whole-stream host decode must not run")
+
+    monkeypatch.setattr(reference_codec, "decompress", forbid)
+    assert api.decompress(stream) == expect

@@ -16,9 +16,9 @@ def test_all_36_corpus_files_roundtrip():
     total_ours = total_gold = 0
     for name in files:
         data = corpus.load(name)
-        comp = api.compress(data)
+        comp = api.compress(data, small_fastpath=False)
         assert golden.uncompress(comp) == data, name
-        assert api.decompress(comp) == data, name
+        assert api.decompress(comp, small_fastpath=False) == data, name
         total_ours += len(comp)
         total_gold += len(golden.compress(data))
     # Aggregate ratio across the whole sweep: strictly at-or-below software
@@ -33,5 +33,5 @@ def test_data_dir_files_roundtrip():
         data = corpus.load(name)
         if len(data) > 500_000:
             data = data[:500_000]  # keep CPU runtime sane; full file in bench
-        comp = api.compress(data)
+        comp = api.compress(data, small_fastpath=False)
         assert golden.uncompress(comp) == data, name

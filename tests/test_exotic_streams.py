@@ -27,7 +27,7 @@ def test_cross_fragment_copy():
          fmt.copy_element(1000, 64),
          fmt.literal_header(10), b"0123456789"])
     expect = a + a[fmt.BLOCK_SIZE - 1000: fmt.BLOCK_SIZE - 1000 + 64] + b"0123456789"
-    assert api.decompress(stream) == expect
+    assert api.decompress(stream, small_fastpath=False) == expect
 
 
 def test_copy4_large_offset():
@@ -40,7 +40,7 @@ def test_copy4_large_offset():
         [fmt.literal_header(65536), data[:65536],
          fmt.literal_header(70000 - 65536), data[65536:],
          bytes([(63 << 2) | 3, 0x10, 0x27, 0, 0])])  # copy4 len 64 off 10000
-    out = api.decompress(stream)
+    out = api.decompress(stream, small_fastpath=False)
     assert out == data + data[70000 - 10000: 70000 - 10000 + 64]
 
 
@@ -48,14 +48,14 @@ def test_corrupt_still_raises():
     stream = build(100, [fmt.literal_header(4), b"abcd",
                          fmt.copy_element(5000, 64)])  # offset > written
     with pytest.raises(ValueError):
-        api.decompress(stream)
+        api.decompress(stream, small_fastpath=False)
 
 
 def test_tiny_copy_lengths():
     # copy2 with length < 4 is legal-but-silly; decoder must honor it.
     stream = build(7, [fmt.literal_header(4), b"abcd",
                        bytes([(2 << 2) | 2, 3, 0])])  # copy2 len 3 off 3
-    assert api.decompress(stream) == b"abcdbcd"
+    assert api.decompress(stream, small_fastpath=False) == b"abcdbcd"
 
 
 @pytest.mark.parametrize("period,runlen", [
@@ -78,7 +78,7 @@ def test_periodic_runs_parallel_decode(period, runlen):
         runlen -= rest
     total = len(head) + runlen
     stream = build(total, els)
-    got = api.decompress(stream)
+    got = api.decompress(stream, small_fastpath=False)
     assert got == reference_codec.decompress(stream)
 
 
@@ -91,7 +91,7 @@ def test_same_offset_runs_split_by_literal():
            fmt.copy_element(4, 16)]            # run 2: same offset, new base
     stream = build(8 + 16 + 4 + 16, els)
     from tpu_snappy import reference_codec
-    assert api.decompress(stream) == reference_codec.decompress(stream)
+    assert api.decompress(stream, small_fastpath=False) == reference_codec.decompress(stream)
 
 
 def test_offset_change_mid_run():
@@ -104,7 +104,7 @@ def test_offset_change_mid_run():
            fmt.copy_element(2, 64)]
     stream = build(16 + 9 + 21 + 8 + 64, els)
     from tpu_snappy import reference_codec
-    assert api.decompress(stream) == reference_codec.decompress(stream)
+    assert api.decompress(stream, small_fastpath=False) == reference_codec.decompress(stream)
 
 
 def test_copy_chain_into_periodic_run():
@@ -116,4 +116,4 @@ def test_copy_chain_into_periodic_run():
            fmt.copy_element(40, 24)]           # plain copy into run interior
     stream = build(5 + 60 + 4 + 24, els)
     from tpu_snappy import reference_codec
-    assert api.decompress(stream) == reference_codec.decompress(stream)
+    assert api.decompress(stream, small_fastpath=False) == reference_codec.decompress(stream)

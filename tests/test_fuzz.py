@@ -39,12 +39,12 @@ def structured_bytes():
 @settings(max_examples=40, deadline=None)
 @given(structured_bytes())
 def test_roundtrip_fuzz(data):
-    comp = api.compress(data)
+    comp = api.compress(data, small_fastpath=False)
     assert golden.uncompress(comp) == data
     assert ref.decompress(comp) == data
-    assert api.decompress(comp) == data
+    assert api.decompress(comp, small_fastpath=False) == data
     # and decode the independent encoder's stream
-    assert api.decompress(golden.compress(data)) == data
+    assert api.decompress(golden.compress(data), small_fastpath=False) == data
 
 
 @settings(max_examples=15, deadline=None)
@@ -54,7 +54,7 @@ def test_roundtrip_random_seeds(seed, n):
     # byte histogram skewed toward a small alphabet => dense matches
     alphabet = rng.integers(0, 256, 8, dtype=np.uint8)
     data = alphabet[rng.integers(0, 8, n)].tobytes()
-    comp = api.compress(data)
+    comp = api.compress(data, small_fastpath=False)
     assert golden.uncompress(comp) == data
     assert len(comp) <= len(data) + 8
 

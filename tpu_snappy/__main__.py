@@ -41,13 +41,10 @@ def main(argv=None):
     from .parallel import mesh as meshlib, shard, streaming
 
     mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
-    if args.framed:
-        if getattr(args, "stream", False) or mesh:
-            ap.error("--framed currently implies the single-device api")
-
-        class api:  # noqa: N801 - same compress/decompress surface
-            compress = staticmethod(framing.compress)
-            decompress = staticmethod(framing.decompress)
+    if args.framed and (getattr(args, "stream", False) or mesh):
+        ap.error("--framed currently implies the single-device api")
+    compress_fn = framing.compress if args.framed else api.compress
+    decompress_fn = framing.decompress if args.framed else api.decompress
 
     if args.cmd == "compress":
         n = args.infile.stat().st_size
@@ -59,7 +56,7 @@ def main(argv=None):
             out_n = stats.out_bytes
         else:
             data = args.infile.read_bytes()
-            comp = shard.encode_dp(data, mesh) if mesh else api.compress(data)
+            comp = shard.encode_dp(data, mesh) if mesh else compress_fn(data)
             args.outfile.write_bytes(comp)
             out_n = len(comp)
         dt = time.perf_counter() - t0
@@ -68,15 +65,15 @@ def main(argv=None):
     elif args.cmd == "decompress":
         comp = args.infile.read_bytes()
         t0 = time.perf_counter()
-        data = shard.decode_dp(comp, mesh) if mesh else api.decompress(comp)
+        data = shard.decode_dp(comp, mesh) if mesh else decompress_fn(comp)
         dt = time.perf_counter() - t0
         args.outfile.write_bytes(data)
         print(f"{len(comp)} -> {len(data)} bytes in {dt:.2f}s "
               f"[{len(data) / dt / 1e6:.1f} MB/s]")
     else:  # roundtrip
         data = args.infile.read_bytes()
-        comp = shard.encode_dp(data, mesh) if mesh else api.compress(data)
-        back = shard.decode_dp(comp, mesh) if mesh else api.decompress(comp)
+        comp = shard.encode_dp(data, mesh) if mesh else compress_fn(data)
+        back = shard.decode_dp(comp, mesh) if mesh else decompress_fn(comp)
         ok = back == data
         print(f"{len(data)};{len(comp)};{'OK' if ok else 'MISMATCH'}")
         return 0 if ok else 1

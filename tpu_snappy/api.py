@@ -38,9 +38,48 @@ def _to_blocks(data: bytes, block_size: int):
 #: input size, at ~8% device cost vs the 24-wide corpus sweet spot.
 API_WAVE = 8
 
+#: Inputs below one block take the host codec: a device dispatch costs
+#: ~10 ms on a tunneled chip (and >=100 us anywhere) regardless of size,
+#: while the native C++ codec compresses 50 KB in ~50 us — matching the
+#: reference's size-proportional latency profile (hw_results.csv rows
+#: 2-10: a 10 B job is hundreds of cycles, not a fixed pipeline fill).
+#: Host output is golden-verified by construction (it IS a golden codec);
+#: device semantics (ratio bars, round-trip) are unchanged above the
+#: threshold. Only applies at default config — custom knobs force the
+#: device path so A/B experiments measure what they ask for.
+SMALL_INPUT_BYTES = fmt.BLOCK_SIZE
 
-def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
-    """Compress to a standard Snappy stream (varint preamble + elements)."""
+
+def _host_compress(data: bytes) -> bytes:
+    try:
+        from .native import golden
+        return golden.compress(data)
+    except (ImportError, OSError, RuntimeError):
+        from . import reference_codec
+        return reference_codec.compress(data)
+
+
+def _host_decompress(comp: bytes) -> bytes:
+    try:
+        from .native import golden
+        return golden.uncompress(comp)
+    except (ImportError, OSError, RuntimeError, ValueError):
+        # Native rejects what it can't parse without detail; the Python
+        # decoder re-raises with a precise message (or succeeds on streams
+        # the native capacity checks refuse).
+        from . import reference_codec
+        return reference_codec.decompress(comp)
+
+
+def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
+             small_fastpath: bool = True) -> bytes:
+    """Compress to a standard Snappy stream (varint preamble + elements).
+
+    small_fastpath=False forces the device pipeline even below the
+    threshold (tests certify the device codec on small inputs that way)."""
+    if (small_fastpath and len(data) < SMALL_INPUT_BYTES
+            and cfg == DEFAULT_CONFIG):
+        return _host_compress(data)
     blocks, lengths = _to_blocks(data, cfg.block_size)
     nb = len(lengths)
     if nb > API_WAVE:
@@ -60,16 +99,21 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     return b"".join(parts)
 
 
-def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
+               small_fastpath: bool = True) -> bytes:
     """Decompress a standard Snappy stream (ours or any other encoder's).
 
     Fragment-parallel on device; valid-but-exotic streams that defeat
-    fragment-local decoding fall back to the sequential host decoder."""
+    fragment-local decoding fall back to the sequential host decoder.
+    small_fastpath=False forces the device pipeline below the threshold."""
     total, start = fmt.varint_decode(comp)
     if total == 0:
         if len(comp) != start:
             raise ValueError("trailing bytes after empty stream")
         return b""
+    if (small_fastpath and total < SMALL_INPUT_BYTES
+            and cfg == DEFAULT_CONFIG):
+        return _host_decompress(comp)
     try:
         frags, fstarts, fulens = ops_decode.fragment_table(comp, start, total)
     except ops_decode.FragmentFallback:
@@ -88,24 +132,42 @@ def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     else:
         out, ok = ops_decode.decode_fragments(frags, fstarts, fulens, cfg)
     ok = np.asarray(ok)
-    if not ok.all():
-        # Either corrupt, or valid-but-exotic (e.g. copies reaching across
-        # the 64 KB fragment boundary, which no known encoder emits but the
-        # format permits). The sequential decoder settles it: it decodes the
-        # exotic case and raises a precise error for the corrupt one.
-        from . import reference_codec
-        try:
-            return reference_codec.decompress(comp)
-        except ValueError as host_err:
-            bad = np.nonzero(~ok)[0]
-            raise ValueError(
-                f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
-                f"{len(ok)} failed validation ({host_err})") from host_err
     out = np.asarray(out)
-    parts = []
-    for i in range(len(fulens)):
-        parts.append(out[i, : fulens[i]].tobytes())
-    result = b"".join(parts)
+    if not ok.all():
+        result = _splice_failed_fragments(frags, fstarts, fulens, out, ok)
+    else:
+        result = b"".join(
+            out[i, : fulens[i]].tobytes() for i in range(len(fulens)))
     if len(result) != total:
         raise ValueError("length mismatch vs preamble")
     return result
+
+
+def _splice_failed_fragments(frags, clens, ulens, out: np.ndarray,
+                             ok: np.ndarray) -> bytes:
+    """Fragment-granular fallback: a fragment fails device validation when
+    it is corrupt OR valid-but-exotic (e.g. a copy reaching across the
+    64 KB fragment boundary, which no known encoder emits but the format
+    permits). Only the FAILED fragments re-decode on the host — with the
+    already-decoded prefix as copy context — instead of the whole stream;
+    ok fragments' device bytes are exact regardless of their neighbors
+    (fragments decode independently). Corrupt fragments raise with ids."""
+    from . import reference_codec
+    ctx = bytearray()
+    for i in range(len(ulens)):
+        if ok[i]:
+            ctx += out[i, : ulens[i]].tobytes()
+            continue
+        before = len(ctx)
+        try:
+            reference_codec.decompress_elements(
+                frags[i].tobytes(), 0, int(clens[i]), ctx)
+        except (ValueError, IndexError) as host_err:
+            raise ValueError(
+                f"invalid Snappy stream: fragment {i} of {len(ulens)} "
+                f"failed validation ({host_err})") from host_err
+        if len(ctx) - before != ulens[i]:
+            raise ValueError(
+                f"invalid Snappy stream: fragment {i} of {len(ulens)} "
+                f"decoded {len(ctx) - before} bytes, expected {ulens[i]}")
+    return bytes(ctx)

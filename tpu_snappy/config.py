@@ -24,11 +24,11 @@ class CodecConfig:
     #: (MemoryController.scala:184-187).
     block_size: int = fmt.BLOCK_SIZE
 
-    #: log2(hash bucket count) used for candidate finding. The reference uses
-    #: 9 bits (512 entries, HashTable.scala:27); software Snappy up to 14.
-    #: We default to 16 (one bucket per position) because our candidate index
-    #: is built by sort, not by a size-constrained SRAM.
-    hash_bits: int = 16
+    # (No hash_bits knob: the reference sizes a 512-entry SRAM hash table
+    # (HashTable.scala:27) and software Snappy sizes per input
+    # (format.hash_table_bits, used by the host/golden codecs); the device
+    # matcher is sort-based — one collision-free bucket per position by
+    # construction — so there is nothing for such a knob to configure.)
 
     #: Number of candidate slots carried per position through the restore
     #: sort and the sticky scan (restore payload = candidates/2 u32 words;

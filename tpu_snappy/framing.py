@@ -66,7 +66,13 @@ def crc32c_batch(rows: np.ndarray) -> np.ndarray:
     L = rows.shape[1]
     k8 = L // 8 * 8
     if k8:
-        w = rows[:, :k8].reshape(-1).view(np.uint32).reshape(rows.shape[0], -1)
+        # Little-endian word combine (as in the native Load32 slice-by-8):
+        # byte i of each u32 must land in bits 8i, so the view is pinned to
+        # '<u4' rather than host order (the pinned check-value test guards
+        # this). The native golden's Load32 assumes a little-endian host,
+        # which covers every target platform here (x86/ARM TPU hosts).
+        w = (rows[:, :k8].reshape(-1).view(np.dtype("<u4"))
+             .reshape(rows.shape[0], -1))
         t0, t1, t2, t3, t4, t5, t6, t7 = _T
         m = np.uint32(0xFF)
         for j in range(0, w.shape[1], 2):
@@ -202,13 +208,19 @@ def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
             clens[j] = ln - 4 - vstart
             ulens[j] = ulen
             starts.append(off + 4 + vstart)
-        if clens.max(initial=0) > ops_decode.FRAG_CAP:
-            raise ValueError("compressed chunk exceeds fragment capacity")
-        w = ops_decode.frag_width(clens)
+        # Spec-valid chunks can exceed the device fragment capacity
+        # (sr_max_compressed_length(65536) ~= 76.5 KB; adversarial all-
+        # literal encoders reach ~131 KB). Those decode on the host path
+        # below — same route as a failed ok flag — instead of raising.
+        oversize = clens > ops_decode.FRAG_CAP
+        clens_dev = np.where(oversize, 0, clens).astype(np.int32)
+        w = ops_decode.frag_width(clens_dev)
         frags = np.zeros((len(comp_idx), w), np.uint8)
         for j, s in enumerate(starts):
-            frags[j, : clens[j]] = np.frombuffer(
-                framed[s: s + clens[j]], np.uint8)
+            if not oversize[j]:
+                frags[j, : clens[j]] = np.frombuffer(
+                    framed[s: s + clens[j]], np.uint8)
+        clens = clens_dev
         nf = len(comp_idx)
         if nf > api.API_WAVE:
             pad = -nf % api.API_WAVE
@@ -222,7 +234,7 @@ def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
             out, ok = np.asarray(out), np.asarray(ok)
         for j, i in enumerate(comp_idx):
             _, off, ln = chunks[i]
-            if ok[j]:
+            if ok[j] and not oversize[j]:
                 piece = out[j, : ulens[j]].tobytes()
             else:
                 # Exotic-but-valid or corrupt: the sequential host decoder

@@ -619,8 +619,8 @@ def encode_block(block: jax.Array, n: jax.Array,
     # header byte of an element rides the lane of position i+1/i+2, which
     # never starts an element nor carries a literal payload byte (elements
     # with multi-byte headers cover those positions themselves).
-    def rollz(x, s):  # roll toward higher indices, zero-fill
-        return jnp.roll(x, s, axis=-1).at[..., :s].set(0)
+    def rollz(x, s):  # roll toward higher indices, zero-fill (dtype-safe)
+        return jnp.roll(x, s, axis=-1).at[..., :s].set(x.dtype.type(0))
 
     e1 = rollz(elem, 1)
     e2 = rollz(elem, 2)

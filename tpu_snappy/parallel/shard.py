@@ -29,25 +29,40 @@ def pad_count(count: int, n_devices: int) -> int:
     return -(-count // n_devices) * n_devices
 
 
+#: Blocks/fragments per vmapped wave inside the sharded programs. The jit
+#: below traces ONE wave regardless of total block count (shard_map gives
+#: each device a local lax.map over its waves), so compile cost is
+#: block-count-independent — the DP sibling of api.API_WAVE (a 48-block
+#: flat vmap graph exceeded 10 min of XLA compile on a remote backend).
+DP_WAVE = 8
+
+
 @functools.lru_cache(maxsize=8)
-def _encode_fn(mesh, cfg: CodecConfig):
-    """Jitted sharded encode: payload stays block-sharded on its device;
-    the length manifest is replicated (the all-gather)."""
+def _encode_fn(mesh, cfg: CodecConfig, wave: int = DP_WAVE):
+    """Jitted sharded encode: payload stays block-sharded on its device
+    (each device runs a bounded-compile lax.map over its local waves); the
+    length manifest is replicated (the all-gather)."""
+    from jax.sharding import PartitionSpec as P
+    axis = cfg.dp_axis
+    local = jax.shard_map(
+        lambda b, l: ops_encode.encode_corpus(b, l, cfg, wave=wave),
+        mesh=mesh, in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis)), check_vma=False)
     return jax.jit(
-        lambda blocks, lengths: ops_encode.encode_blocks(blocks, lengths, cfg),
-        in_shardings=(meshlib.block_sharding(mesh), meshlib.scalar_sharding(mesh)),
+        local,
         out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
     )
 
 
 @functools.lru_cache(maxsize=8)
-def _decode_fn(mesh):
+def _decode_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
+    from jax.sharding import PartitionSpec as P
+    local = jax.shard_map(
+        lambda f, c, u: ops_decode.decode_corpus(f, c, u, wave=wave),
+        mesh=mesh, in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis)), check_vma=False)
     return jax.jit(
-        lambda frags, clens, ulens: jax.vmap(ops_decode.decode_fragment)(
-            frags, clens, ulens),
-        in_shardings=(meshlib.block_sharding(mesh),
-                      meshlib.scalar_sharding(mesh),
-                      meshlib.scalar_sharding(mesh)),
+        local,
         out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
     )
 
@@ -71,12 +86,15 @@ def encode_dp(data: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     """Compress `data` with blocks sharded data-parallel over `mesh`."""
     n = len(data)
     nblocks = max(1, -(-n // cfg.block_size))
-    padded = pad_count(nblocks, mesh.devices.size)
+    ndev = mesh.devices.size
+    per_dev = -(-nblocks // ndev)
+    wave = min(DP_WAVE, per_dev)  # small jobs stay one short wave
+    padded = (-(-per_dev // wave) * wave) * ndev
     arr, lengths, nblocks = blocks_of(data, cfg.block_size, padded)
 
     blocks = jax.device_put(arr, meshlib.block_sharding(mesh))
     lens = jax.device_put(lengths, meshlib.scalar_sharding(mesh))
-    out, out_lens = _encode_fn(mesh, cfg)(blocks, lens)
+    out, out_lens = _encode_fn(mesh, cfg, wave)(blocks, lens)
 
     # Ordered assembly on host from the manifest (exclusive-scan offsets).
     out_np = np.asarray(out)
@@ -95,31 +113,32 @@ def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
     frags = frags[:, : ops_decode.frag_width(clens)]
     nfrag = len(clens)
-    padded = pad_count(nfrag, mesh.devices.size)
+    ndev = mesh.devices.size
+    per_dev = -(-nfrag // ndev)
+    wave = min(DP_WAVE, per_dev)
+    padded = (-(-per_dev // wave) * wave) * ndev
     if padded != nfrag:
         frags = np.pad(frags, ((0, padded - nfrag), (0, 0)))
         clens = np.pad(clens, (0, padded - nfrag))
         ulens = np.pad(ulens, (0, padded - nfrag))
 
-    out, ok = _decode_fn(mesh)(
+    out, ok = _decode_fn(mesh, "dp", wave)(
         jax.device_put(frags, meshlib.block_sharding(mesh)),
         jax.device_put(np.asarray(clens, np.int32), meshlib.scalar_sharding(mesh)),
         jax.device_put(np.asarray(ulens, np.int32), meshlib.scalar_sharding(mesh)),
     )
     okv = np.asarray(ok)[:nfrag]
     if not okv.all():
-        # Valid-but-exotic streams (cross-fragment copies) decode on the
-        # sequential host path; corrupt ones raise from there with detail.
-        from .. import reference_codec
-        try:
-            return reference_codec.decompress(comp)
-        except ValueError as host_err:
-            bad = np.nonzero(~okv)[0]
-            raise ValueError(
-                f"invalid Snappy stream: fragment(s) {bad[:8].tolist()} of "
-                f"{nfrag} failed validation ({host_err})") from host_err
-    out_np = np.asarray(out)
-    result = b"".join(out_np[i, : ulens[i]].tobytes() for i in range(nfrag))
+        # Fragment-granular host fallback (exotic fragments re-decode with
+        # the already-decoded prefix as context; corrupt ones raise).
+        from ..api import _splice_failed_fragments
+        result = _splice_failed_fragments(
+            frags[:nfrag], clens[:nfrag], ulens[:nfrag],
+            np.asarray(out)[:nfrag], okv)
+    else:
+        out_np = np.asarray(out)
+        result = b"".join(out_np[i, : ulens[i]].tobytes()
+                          for i in range(nfrag))
     if len(result) != total:
         raise ValueError("length mismatch vs preamble")
     return result

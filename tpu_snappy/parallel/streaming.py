@@ -59,8 +59,13 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
         # the measured encode sweet spot on v5e (compile fails past ~32).
         blocks_per_wave = 24 * n_dev
     blocks_per_wave = shard.pad_count(blocks_per_wave, n_dev)
+    # Per-device block count must be a whole number of jit waves (the
+    # bounded-compile lax.map inside shard._encode_fn).
+    per_dev = blocks_per_wave // n_dev
+    jwave = min(shard.DP_WAVE, per_dev)
+    blocks_per_wave = (-(-per_dev // jwave) * jwave) * n_dev
     wave_bytes = blocks_per_wave * cfg.block_size
-    enc = shard._encode_fn(mesh, cfg)
+    enc = shard._encode_fn(mesh, cfg, jwave)
     bspec = meshlib.block_sharding(mesh)
     sspec = meshlib.scalar_sharding(mesh)
 

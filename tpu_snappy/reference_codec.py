@@ -88,7 +88,20 @@ def decompress(buf: bytes) -> bytes:
     """Strict sequential Snappy decoder (validates the stream)."""
     expected, pos = fmt.varint_decode(buf)
     out = bytearray()
-    n = len(buf)
+    decompress_elements(buf, pos, len(buf), out)
+    if len(out) != expected:
+        raise ValueError(f"length mismatch: preamble {expected}, decoded {len(out)}")
+    return bytes(out)
+
+
+def decompress_elements(buf: bytes, pos: int, end: int,
+                        out: bytearray) -> None:
+    """Decode raw Snappy elements buf[pos:end] (no preamble), appending to
+    `out`. Copies may reference bytes already in `out` — this is the
+    fragment-granular host fallback: a single failed fragment re-decodes
+    with the already-decoded prefix as context instead of re-decoding the
+    whole stream. Raises ValueError on malformed input."""
+    n = end
     while pos < n:
         tag = buf[pos]
         kind = tag & 3
@@ -132,6 +145,3 @@ def decompress(buf: bytes) -> bytes:
             src = len(out) - offset
             for i in range(length):
                 out.append(out[src + i])
-    if len(out) != expected:
-        raise ValueError(f"length mismatch: preamble {expected}, decoded {len(out)}")
-    return bytes(out)
