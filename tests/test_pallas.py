@@ -247,7 +247,7 @@ def test_resolve_decode_equivalence():
         _, start = fmt.varint_decode(comp)
         frags, clens, ulens = D.fragment_table(comp, start, len(data))
         for resolve in ("xla", "kernel", "windowed", "plain", "hybrid",
-                        "tiled", "tiledtail"):
+                        "tiled", "tiledtail", "paratail"):
             out, ok = D.decode_fragments_jit(
                 jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
                 resolve=resolve)

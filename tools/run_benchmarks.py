@@ -1,12 +1,27 @@
 """Full corpus benchmark sweep — the run-all.sh / hw_results.csv producer.
 
-Runs the device codec over every benchmark/benchmark-data corpus file
-(the Test.scala:61-66 selection: no bank-split files), writes
-results/tpu_results.csv in the reference schema (+ wall_ns + GB/s), and
-prints the csv_scan-style comparison against the reference's recorded
-hw_results.csv / sw_results.csv.
+Runs the codec over every benchmark/benchmark-data corpus file (the
+Test.scala:61-66 selection: no bank-split files) and writes, in the
+reference schema (+ wall_ns + GB/s, see utils/metrics.py):
 
-Usage: python tools/run_benchmarks.py [--iters N] [--out results/tpu_results.csv]
+  results/tpu_results.csv          encode, end-to-end api.compress — small
+                                   inputs take the host fast-path, so the
+                                   per-size latency profile is size-
+                                   proportional like the reference's
+                                   (hw_results.csv rows 2-10), not a fixed
+                                   device-dispatch floor
+  results/tpu_results_device.csv   encode, device pipeline forced
+                                   (small_fastpath=False) — the device
+                                   codec's own per-size profile
+  results/tpu_decode_results.csv   decode sweep (the half the reference
+                                   never built): api.decompress on our own
+                                   streams AND on C++-golden-encoded
+                                   streams ("<type>_gold" rows)
+
+and prints the csv_scan-style comparison against the reference's recorded
+hw_results.csv.
+
+Usage: python tools/run_benchmarks.py [--iters N] [--outdir results]
 """
 
 import argparse
@@ -14,57 +29,71 @@ import pathlib
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def _time(fn, iters):
+    fn()  # warm (compile on the device path)
+    t0 = time.perf_counter_ns()
+    for _ in range(iters):
+        out = fn()
+    wall = (time.perf_counter_ns() - t0) // iters
+    return wall, out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--out", default="results/tpu_results.csv")
+    ap.add_argument("--outdir", default="results")
+    ap.add_argument("--skip-device", action="store_true",
+                    help="api-path rows only (no device-forced sweep)")
     args = ap.parse_args()
 
-    import jax
-
-    from tpu_snappy import format as fmt
-    from tpu_snappy.config import DEFAULT_CONFIG
-    from tpu_snappy.ops import encode as ops_encode
-    from tpu_snappy.parallel import shard
+    from tpu_snappy import api
+    from tpu_snappy.native import golden
     from tpu_snappy.utils import corpus, metrics
 
-    enc = jax.jit(lambda b, l: ops_encode.encode_blocks(b, l, DEFAULT_CONFIG))
-
-    rows = []
+    enc_rows, dev_rows, dec_rows = [], [], []
     for name in corpus.corpus_files():
         data = corpus.load(name)
-        typ, _, sz = name.rpartition(".")[0].partition("-")
+        typ, _, _ = name.rpartition(".")[0].partition("-")
         typ = "repeat" if typ == "repeating" else typ  # hw_results.csv naming
-        nblocks = max(1, -(-len(data) // fmt.BLOCK_SIZE))
-        arr, lengths, _ = shard.blocks_of(data, fmt.BLOCK_SIZE, nblocks)
-        bd, ld = jax.device_put(arr), jax.device_put(lengths)
-        out, lens = enc(bd, ld)
-        lens_np = np.asarray(lens)
-        csize = int(lens_np.sum()) + fmt.varint_size(len(data))
-        t0 = time.perf_counter_ns()
-        for _ in range(args.iters):
-            _, l = enc(bd, ld)
-        np.asarray(l)
-        wall = (time.perf_counter_ns() - t0) // args.iters
-        rows.append(metrics.Row(typ, len(data), wall, csize))
-        print(rows[-1].csv(), file=sys.stderr)
+        n = len(data)
 
-    outp = pathlib.Path(args.out)
-    outp.parent.mkdir(parents=True, exist_ok=True)
-    with outp.open("w") as fp:
-        metrics.write_csv(rows, fp)
+        wall, comp = _time(lambda: api.compress(data), args.iters)
+        enc_rows.append(metrics.Row(typ, n, wall, len(comp)))
+        print(enc_rows[-1].csv(), file=sys.stderr)
 
-    print(metrics.summary_table(rows))
+        if not args.skip_device:
+            wall_d, comp_d = _time(
+                lambda: api.compress(data, small_fastpath=False), args.iters)
+            dev_rows.append(metrics.Row(typ, n, wall_d, len(comp_d)))
+
+        # Decode: our stream and the independent C++ golden's stream.
+        wall, out = _time(lambda: api.decompress(comp), args.iters)
+        assert out == data, name
+        dec_rows.append(metrics.Row(typ, n, wall, len(comp)))
+        gstream = golden.compress(data)
+        wall, out = _time(lambda: api.decompress(gstream), args.iters)
+        assert out == data, name
+        dec_rows.append(metrics.Row(typ + "_gold", n, wall, len(gstream)))
+
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    with (outdir / "tpu_results.csv").open("w") as fp:
+        metrics.write_csv(enc_rows, fp)
+    if dev_rows:
+        with (outdir / "tpu_results_device.csv").open("w") as fp:
+            metrics.write_csv(dev_rows, fp)
+    with (outdir / "tpu_decode_results.csv").open("w") as fp:
+        metrics.write_csv(dec_rows, fp)
+
+    print(metrics.summary_table(enc_rows))
     hw = corpus.REFERENCE_ROOT / "benchmark" / "hw_results.csv"
     if hw.is_file():
         ref = metrics.parse_reference_csv(hw.read_text())
         print("\nvs reference hw_results.csv (RoCC accelerator, sim cycles):")
-        print(metrics.compare(rows, ref))
+        print(metrics.compare(enc_rows, ref))
 
 
 if __name__ == "__main__":

@@ -99,6 +99,13 @@ TAIL_CAP = 32768
 TAIL_TILE = 4096
 TAIL_VARIANT = "fori"
 
+#: resolve="paratail" knobs: dense-round exit cap (dense doubling runs
+#: while the moving set exceeds this; 65536 = no dense rounds at all) and
+#: the tile size shared by the parallel local rounds and the absorb-only
+#: tail. See the mode's inline comment.
+PARA_CAP = 65536
+PARA_TILE = 4096
+
 #: Run the first two resolve doubling rounds through the anchored-window
 #: gather kernel (ops/pallas/gatherwin.py) instead of full dense rounds.
 #: Measured perf-NEUTRAL on TPU (930 vs 932 us/frag on mtg, same-session
@@ -310,6 +317,46 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         out = tiledres.resolve_tiled(
             lit_out, src, resolved=cnt == 0,
             tile=TAIL_TILE, variant=TAIL_VARIANT).astype(jnp.uint8)
+    elif resolve == "paratail":
+        # Hoisted-locals variant of tiledtail: the tail kernel's serial
+        # (tile x local-round) loop pays the ~8 us in-kernel one-hot-op
+        # floor per round per tile; local rounds of DIFFERENT tiles are
+        # independent, so they run here as dispatched, Mosaic-pipelined
+        # grid passes over all tiles at once (ops/pallas/localround.py —
+        # tile-diagonal one-hots, 1/16 of a dense round's MAC/build work),
+        # and the tail kernel runs absorbs only (resolved=True: in-tile
+        # lanes are at in-tile literals whose P rows are still literal
+        # when their tile absorbs; out-of-tile lanes read final P rows).
+        # Optional opening dense rounds (PARA_CAP < 65536) shrink deep
+        # in-tile chains before the local rounds take over.
+        from .pallas import localround, tiledres
+
+        def dense_cond(c):
+            _s, cnt, it = c
+            return (cnt > PARA_CAP) & (it < 16)
+
+        def dense_body(c):
+            s, _cnt, it = c
+            s2 = _gather_out(s, s)
+            return s2, jnp.sum((s2 != s).astype(jnp.int32)), it + 1
+
+        src, cnt, _ = jax.lax.while_loop(
+            dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
+
+        def loc_cond(c):
+            _s, moved, it = c
+            return moved & (it < 14)
+
+        def loc_body(c):
+            s, _m, it = c
+            s2 = localround.local_round(s, PARA_TILE)
+            return s2, jnp.any(s2 != s), it + 1
+
+        src, _, _ = jax.lax.while_loop(
+            loc_cond, loc_body, (src, cnt != 0, jnp.int32(0)))
+        out = tiledres.resolve_tiled(
+            lit_out, src, resolved=jnp.bool_(True),
+            tile=PARA_TILE, variant=TAIL_VARIANT).astype(jnp.uint8)
     elif resolve == "kernel":
         from .pallas import resolve as pallas_resolve
         out = pallas_resolve.resolve_block(lit_out, src).astype(jnp.uint8)
