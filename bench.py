@@ -127,6 +127,51 @@ def main():
     enc_gbps = n * ITERS / dt / 1e9
     log(f"encode: {ITERS} x {n/1e6:.1f} MB in {dt:.3f}s -> {enc_gbps:.3f} GB/s/chip")
 
+    # Sustained (in-graph) rate: one dispatch running R corpus passes in a
+    # lax.fori_loop — removes the per-program launch overhead (~48 us/block
+    # measured on the tunneled chip) that back-to-back dispatches pay.
+    # This is the steady-state number a continuously-fed pipeline sees;
+    # the headline above keeps the per-dispatch methodology for
+    # round-over-round comparability.
+    R = 10
+
+    @jax.jit
+    def enc_loop(b, l):
+        return jax.lax.fori_loop(
+            0, R,
+            lambda _, c: ops_encode.encode_corpus(
+                b, l, DEFAULT_CONFIG, wave=ENC_WAVE)[1],
+            jnp.zeros(b.shape[0], jnp.int32))
+
+    for _ in range(2):
+        last = enc_loop(blocks_d, lens_d)
+    np.asarray(jnp.ravel(last)[0])
+    t0 = time.time()
+    for _ in range(4):
+        last = enc_loop(blocks_d, lens_d)
+    np.asarray(jnp.ravel(last)[0])
+    sus_gbps = n * 4 * R / (time.time() - t0) / 1e9
+    log(f"encode sustained (in-graph x{R}): {sus_gbps:.3f} GB/s/chip")
+
+    # End-to-end: one full pass including device->host fetch of the
+    # compressed payload and the host assembly loop (manifest slicing +
+    # join). On the tunneled dev chip the fetch is link-bound (~20 MB/s),
+    # so e2e mostly measures the tunnel; the host_assembly number is the
+    # honest device-independent cost the streaming driver overlaps
+    # (parallel/streaming.py drains on a worker thread).
+    t0 = time.time()
+    out_e, lens_e = enc(blocks_d, lens_d)
+    out_np = np.asarray(out_e)
+    lens_np2 = np.asarray(lens_e)
+    t_fetch = time.time() - t0
+    t0 = time.time()
+    _comp = fmt.varint_encode(n) + b"".join(
+        out_np[i, : lens_np2[i]].tobytes() for i in range(nblocks))
+    t_asm = time.time() - t0
+    e2e_gbps = n / (dt / ITERS + t_fetch + t_asm) / 1e9
+    log(f"e2e: +fetch {t_fetch*1e3:.1f} ms +assembly {t_asm*1e3:.2f} ms "
+        f"-> {e2e_gbps:.3f} GB/s single-pass e2e")
+
     # Decode throughput on our own stream (same wave batching).
     total, start = fmt.varint_decode(comp)
     frags, clens, ulens = ops_decode.fragment_table(comp, start, total)
@@ -166,6 +211,9 @@ def main():
         "decode_GBps": round(dec_gbps, 4),
         "ratio_vs_snappy": round(csize / gsize, 4) if ratio_ok is not None else None,
         "roundtrip_ok": bool(rt_ok),
+        "encode_e2e_GBps": round(e2e_gbps, 4),
+        "host_assembly_ms": round(t_asm * 1e3, 2),
+        "encode_sustained_GBps": round(sus_gbps, 4),
     }))
 
 

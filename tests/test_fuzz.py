@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 try:
-    from hypothesis import given, settings, strategies as st
+    from hypothesis import HealthCheck, given, settings, strategies as st
     HAVE_HYP = True
 except ImportError:  # pragma: no cover
     HAVE_HYP = False
@@ -102,3 +102,21 @@ def test_resolve_modes_roundtrip_fuzz(data):
         got = b"".join(np.asarray(out[i, :ulens[i]]).tobytes()
                        for i in range(len(ulens)))
         assert got == data, resolve
+
+
+@pytest.mark.nightly
+@settings(max_examples=500, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(structured_bytes())
+def test_roundtrip_fuzz_nightly(data):
+    """Deep differential-fuzz budget (golden-independence hardening):
+    run with `pytest -m nightly` (deselected by default via -m "not
+    nightly" in pytest.ini addopts). 500 structured examples through
+    every decoder pairing, both encoders."""
+    comp = api.compress(data, small_fastpath=False)
+    assert golden.uncompress(comp) == data
+    assert ref.decompress(comp) == data
+    assert api.decompress(comp, small_fastpath=False) == data
+    gstream = golden.compress(data)
+    assert api.decompress(gstream, small_fastpath=False) == data
+    assert ref.decompress(gstream) == data

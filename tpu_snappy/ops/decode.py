@@ -91,7 +91,13 @@ SPARSE_CAP = 12288
 #: this many lanes, the tile-sequential kernel takes over. Unlike
 #: SPARSE_CAP this is not a lane budget — the tail kernel's cost scales
 #: with remaining chain STRUCTURE, so the threshold can sit much higher.
-TAIL_CAP = 32768
+#: Round-2 re-sweep on v5e (mtg own-streams, 24-wide, best-of-2 at
+#: ITERS=20): 32768 -> 650.5, 40960 -> 598.6, 49152 -> 640.0,
+#: 57344 -> 599.3, 61440 -> 606.3 us/frag; tile 8192 loses ~55 at either
+#: cap. The vmapped dense while-loop runs LOCKSTEP to the slowest
+#: fragment of the wave, so fewer mandatory dense rounds win even though
+#: the tail's per-tile local rounds grow.
+TAIL_CAP = 40960
 
 #: Tail kernel tile size (positions per sequential absorb step) and
 #: variant ("fori" dynamic loop; "pair" two-tiles-per-P-step with fixup;

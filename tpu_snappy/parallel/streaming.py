@@ -91,14 +91,22 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
             yield (jax.device_put(arr, bspec),
                    jax.device_put(lengths, sspec), nblocks, take)
 
-    pending = None  # (out, out_lens, nblocks, take) of the wave in flight
-    for blocks, lens, nblocks, take in waves():
-        out, out_lens = enc(blocks, lens)  # async dispatch
-        if pending is not None:
-            _drain(pending, dst, stats)
-        pending = (out, out_lens, nblocks, take)
-    if pending is not None:
-        _drain(pending, dst, stats)
+    # Drain (device fetch + host assembly + sink write) runs on a single
+    # worker thread so it overlaps the NEXT wave's host->device copy and
+    # device encode — the host-assembly half of the MemoryController
+    # compute/IO-overlap role. One worker keeps writes ordered.
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for blocks, lens, nblocks, take in waves():
+            out, out_lens = enc(blocks, lens)  # async dispatch
+            if fut is not None:
+                fut.result()  # surface drain errors before queueing more
+            fut = pool.submit(_drain, (out, out_lens, nblocks, take),
+                              dst, stats)
+        if fut is not None:
+            fut.result()
     return stats
 
 
