@@ -134,3 +134,13 @@ def test_fragment_granular_fallback(monkeypatch):
 
     monkeypatch.setattr(reference_codec, "decompress", forbid)
     assert api.decompress(stream) == expect
+
+
+def test_synth_regenerates_reference_corpus():
+    # DataGenerator.scala parity: synth() must regenerate the reference's
+    # actual corpus files byte-for-byte (java.util.Random LCG for random-*,
+    # UTF-8-char-truncation quirk for real-*, all-'a' repeating-*).
+    assert corpus.synth("random", 100000) == corpus.load("randomASCII.txt")
+    for t in ("random", "real", "repeating"):
+        for n in (10, 5000, 50000):
+            assert corpus.synth(t, n) == corpus.load(f"{t}-{n}.txt"), (t, n)

@@ -52,25 +52,59 @@ def corpus_files() -> list[str]:
     return out
 
 
-def synth(kind: str, size: int, seed: int = 4444) -> bytes:
-    """Synthesize corpus-like data (DataGenerator.scala analogue).
+class _JavaRandom:
+    """java.util.Random's 48-bit LCG — RandomFileGenerator uses
+    `new Random(4444)` (DataGenerator.scala:13), and reproducing it
+    bit-exactly lets synth() REGENERATE data/randomASCII.txt rather than
+    approximate it (tests assert equality against the mounted file)."""
 
-    random  — uniform printable ASCII (RandomFileGenerator, seed 4444)
-    repeating — short phrase tiled to size
-    real    — natural-language-like text (only a stand-in when the MTG corpus
-              is unavailable; prefer load('real-<n>.txt')).
+    _MULT = 0x5DEECE66D
+    _MASK = (1 << 48) - 1
+
+    def __init__(self, seed: int):
+        self.seed = (seed ^ self._MULT) & self._MASK
+
+    def _next(self, bits: int) -> int:
+        self.seed = (self.seed * self._MULT + 0xB) & self._MASK
+        return self.seed >> (48 - bits)
+
+    def next_int(self, bound: int) -> int:
+        if bound & (bound - 1) == 0:  # power of two
+            return (bound * self._next(31)) >> 31
+        while True:
+            bits = self._next(31)
+            val = bits % bound
+            if bits - val + (bound - 1) < (1 << 31):  # no int32 overflow
+                return val
+
+
+def synth(kind: str, size: int, seed: int = 4444) -> bytes:
+    """Synthesize corpus data, byte-identical to DataGenerator.scala:
+
+    random    — `new Random(4444).nextInt(93) + 32` ASCII stream
+                (RandomFileGenerator; regenerates data/randomASCII.txt and
+                every random-<n>.txt prefix exactly)
+    repeating — all 'a' (DataGenerator's repeatingWriter)
+    real      — prefix of data/all-mtg-cards.txt (DataGenerator's
+                realWriter; a repeating+random stand-in only when the
+                corpus is not mounted)
     """
     if kind == "random":
-        rng = np.random.default_rng(seed)
-        return rng.integers(32, 127, size=size, dtype=np.uint8).tobytes()
+        rand = _JavaRandom(seed)
+        return bytes(rand.next_int(93) + 32 for _ in range(size))
     if kind == "repeating":
-        phrase = b"All work and no play makes Jack a dull boy. "
-        reps = -(-size // len(phrase))
-        return (phrase * reps)[:size]
+        return b"a" * size
     if kind == "real":
         try:
             data = load("all-mtg-cards.txt")
         except FileNotFoundError:
             data = synth("repeating", size * 4, seed) + synth("random", size, seed)
-        return data[:size]
+            return data[:size]
+        # DataGenerator reads the corpus as a UTF-8 STRING and writes
+        # `allMTGCards(i).toByte.toChar` — i.e. the i-th CHARACTER's
+        # codepoint truncated to a byte (em-dash U+2014 -> 0x14). Mirror
+        # that quirk exactly: real-<n>.txt files are char-prefixes, not
+        # byte-prefixes, of all-mtg-cards.txt.
+        chars = data.decode("utf-8")[:size]
+        return bytes(ord(c) & 0xFF for c in chars)
     raise ValueError(kind)
