@@ -137,18 +137,27 @@ def main():
 
     @jax.jit
     def enc_loop(b, l):
+        # Two anti-optimization guards, both verified necessary: the carry
+        # feeds a runtime-zero perturbation into the next pass's lengths
+        # (else XLA hoists the loop-invariant body — an unguarded version
+        # measured one pass instead of R), and the FULL output folds into
+        # a checksum (else XLA dead-code-eliminates every stage the
+        # returned manifest doesn't depend on).
+        def body(_, carry):
+            lens_prev, acc = carry
+            pert = jnp.min(jnp.where(lens_prev < 0, 1, 0))
+            out, lens2 = ops_encode.encode_corpus(
+                b, l + pert, DEFAULT_CONFIG, wave=ENC_WAVE)
+            return lens2, acc + jnp.sum(out.astype(jnp.uint32))
         return jax.lax.fori_loop(
-            0, R,
-            lambda _, c: ops_encode.encode_corpus(
-                b, l, DEFAULT_CONFIG, wave=ENC_WAVE)[1],
-            jnp.zeros(b.shape[0], jnp.int32))
+            0, R, body, (jnp.zeros(b.shape[0], jnp.int32), jnp.uint32(0)))
 
     for _ in range(2):
-        last = enc_loop(blocks_d, lens_d)
+        last = enc_loop(blocks_d, lens_d)[1]
     np.asarray(jnp.ravel(last)[0])
     t0 = time.time()
     for _ in range(4):
-        last = enc_loop(blocks_d, lens_d)
+        last = enc_loop(blocks_d, lens_d)[1]
     np.asarray(jnp.ravel(last)[0])
     sus_gbps = n * 4 * R / (time.time() - t0) / 1e9
     log(f"encode sustained (in-graph x{R}): {sus_gbps:.3f} GB/s/chip")
@@ -201,6 +210,30 @@ def main():
     dec_gbps = n * ITERS / dt / 1e9
     log(f"decode: {dec_gbps:.3f} GB/s/chip")
 
+    @jax.jit
+    def dec_loop(f, c, u):
+        # Same anti-hoist + anti-DCE guards as enc_loop: without the
+        # output checksum XLA eliminates the whole resolve stage (ok does
+        # not depend on it) and "sustained decode" measures the parse
+        # front only — verified by R-scaling (tools/jobs/s_loopscale).
+        def body(_, carry):
+            k, acc = carry
+            pert = jnp.min(jnp.where(k, 0, 1))
+            out, ok = ops_decode.decode_corpus(f, c, u + pert, wave=DEC_WAVE)
+            return ok, acc + jnp.sum(out.astype(jnp.uint32))
+        return jax.lax.fori_loop(
+            0, R, body, (jnp.ones(f.shape[0], jnp.bool_), jnp.uint32(0)))
+
+    for _ in range(2):
+        last = dec_loop(fd, cd, ud)[1]
+    np.asarray(jnp.ravel(last)[0])
+    t0 = time.time()
+    for _ in range(4):
+        last = dec_loop(fd, cd, ud)[1]
+    np.asarray(jnp.ravel(last)[0])
+    dec_sus_gbps = n * 4 * R / (time.time() - t0) / 1e9
+    log(f"decode sustained (in-graph x{R}): {dec_sus_gbps:.3f} GB/s/chip")
+
     value = round(enc_gbps, 4)
     print(json.dumps({
         "metric": "encode_GBps_per_chip_mtg"
@@ -214,6 +247,7 @@ def main():
         "encode_e2e_GBps": round(e2e_gbps, 4),
         "host_assembly_ms": round(t_asm * 1e3, 2),
         "encode_sustained_GBps": round(sus_gbps, 4),
+        "decode_sustained_GBps": round(dec_sus_gbps, 4),
     }))
 
 

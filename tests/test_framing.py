@@ -10,6 +10,7 @@ import pytest
 
 from tpu_snappy import framing
 from tpu_snappy.native import golden
+from tpu_snappy.utils import corpus
 
 
 def _text(n: int) -> bytes:
@@ -138,3 +139,25 @@ def test_truncation_rejected():
         framing.decompress(framed[:-3])
     with pytest.raises(ValueError):
         golden.uncompress_framed(framed[:-3])
+
+
+def test_framed_mesh_roundtrip():
+    # Framed chunks are independent: the container composes with DP mesh
+    # sharding; the meshed stream must equal the single-device stream.
+    from tpu_snappy.parallel import mesh as meshlib
+    m = meshlib.make_mesh(8)
+    data = corpus.load("all-mtg-cards.txt")[: 20 * framing.MAX_CHUNK + 777]
+    fr_mesh = framing.compress(data, mesh=m)
+    assert fr_mesh == framing.compress(data)
+    assert framing.decompress(fr_mesh, mesh=m) == data
+
+
+def test_framed_stream_matches_oneshot():
+    import io
+    data = corpus.load("all-mtg-cards.txt")[: 10 * framing.MAX_CHUNK + 123]
+    dst = io.BytesIO()
+    n = framing.compress_stream(io.BytesIO(data), dst, len(data),
+                                blocks_per_wave=3)
+    assert dst.getvalue() == framing.compress(data)
+    assert n == len(dst.getvalue())
+    assert framing.decompress(dst.getvalue()) == data

@@ -41,22 +41,38 @@ def main(argv=None):
     from .parallel import mesh as meshlib, shard, streaming
 
     mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
-    if args.framed and (getattr(args, "stream", False) or mesh):
-        ap.error("--framed currently implies the single-device api")
-    compress_fn = framing.compress if args.framed else api.compress
-    decompress_fn = framing.decompress if args.framed else api.decompress
+    if args.framed:
+        # Framed chunks are independent, so the container composes with
+        # mesh sharding and streaming directly.
+        def compress_fn(d):
+            return framing.compress(d, mesh=mesh)
+
+        def decompress_fn(c):
+            return framing.decompress(c, mesh=mesh)
+    else:
+        def compress_fn(d):
+            return shard.encode_dp(d, mesh) if mesh else api.compress(d)
+
+        def decompress_fn(c):
+            return shard.decode_dp(c, mesh) if mesh else api.decompress(c)
 
     if args.cmd == "compress":
         n = args.infile.stat().st_size
         t0 = time.perf_counter()
         if args.stream:
             with args.infile.open("rb") as src, args.outfile.open("wb") as dst:
-                stats = streaming.compress_stream(
-                    src, dst, n, mesh, blocks_per_wave=args.blocks_per_wave)
-            out_n = stats.out_bytes
+                if args.framed:
+                    out_n = framing.compress_stream(
+                        src, dst, n, mesh,
+                        blocks_per_wave=args.blocks_per_wave)
+                else:
+                    stats = streaming.compress_stream(
+                        src, dst, n, mesh,
+                        blocks_per_wave=args.blocks_per_wave)
+                    out_n = stats.out_bytes
         else:
             data = args.infile.read_bytes()
-            comp = shard.encode_dp(data, mesh) if mesh else compress_fn(data)
+            comp = compress_fn(data)
             args.outfile.write_bytes(comp)
             out_n = len(comp)
         dt = time.perf_counter() - t0
@@ -65,15 +81,15 @@ def main(argv=None):
     elif args.cmd == "decompress":
         comp = args.infile.read_bytes()
         t0 = time.perf_counter()
-        data = shard.decode_dp(comp, mesh) if mesh else decompress_fn(comp)
+        data = decompress_fn(comp)
         dt = time.perf_counter() - t0
         args.outfile.write_bytes(data)
         print(f"{len(comp)} -> {len(data)} bytes in {dt:.2f}s "
               f"[{len(data) / dt / 1e6:.1f} MB/s]")
     else:  # roundtrip
         data = args.infile.read_bytes()
-        comp = shard.encode_dp(data, mesh) if mesh else compress_fn(data)
-        back = shard.decode_dp(comp, mesh) if mesh else decompress_fn(comp)
+        comp = compress_fn(data)
+        back = decompress_fn(comp)
         ok = back == data
         print(f"{len(data)};{len(comp)};{'OK' if ok else 'MISMATCH'}")
         return 0 if ok else 1

@@ -101,34 +101,23 @@ def unmask(m: int) -> int:
 
 # ---- Framed encode / decode on the device block pipelines ----
 
-def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
+             mesh=None) -> bytes:
     """Compress to a framed stream: one data chunk per 64 KB block, all
     blocks encoded by the batched device pipeline in one pass; a chunk is
     emitted uncompressed when compression would not shrink it (the spec's
     recommendation — incompressible data costs 8 bytes per 64 KB, not the
-    raw-stream worst case)."""
-    from .ops import encode as ops_encode
-    from . import api
-
+    raw-stream worst case). `mesh` shards the block encode data-parallel
+    (chunks are independent, so the framed container composes with DP
+    exactly like the raw stream does)."""
     parts = [STREAM_ID]
     if not data:
         return STREAM_ID
 
+    from . import api
     blocks, lengths = api._to_blocks(data, MAX_CHUNK)
     nb = len(lengths)
-    if nb > api.API_WAVE:
-        pad = -nb % api.API_WAVE
-        if pad:
-            blocks_p = np.pad(blocks, ((0, pad), (0, 0)))
-            lengths_p = np.pad(lengths, (0, pad))
-        else:
-            blocks_p, lengths_p = blocks, lengths
-        out, out_lens = ops_encode.encode_corpus(blocks_p, lengths_p, cfg,
-                                                 wave=api.API_WAVE)
-    else:
-        out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
-    out = np.asarray(out)
-    out_lens = np.asarray(out_lens)
+    out, out_lens = _encode_blocks_any(blocks, lengths, cfg, mesh)
     crcs = crc32c_batch(blocks)  # zero-padding is masked off below
 
     pos = 0
@@ -149,6 +138,98 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
                          len(body).to_bytes(3, "little") + body)
         pos += blen
     return b"".join(parts)
+
+
+def _encode_blocks_any(blocks, lengths, cfg: CodecConfig, mesh):
+    """Batched block encode via the single-device wave pipeline or, when a
+    mesh is given, the sharded DP path (bounded-compile either way).
+    Returns (out, out_lens) as numpy arrays for the rows of `blocks`."""
+    from . import api
+    from .ops import encode as ops_encode
+
+    nb = len(lengths)
+    if mesh is not None:
+        from .parallel import mesh as meshlib, shard
+        ndev = mesh.devices.size
+        per_dev = -(-nb // ndev)
+        wave = min(shard.DP_WAVE, per_dev)
+        padded = (-(-per_dev // wave) * wave) * ndev
+        bp = np.pad(blocks, ((0, padded - nb), (0, 0)))
+        lp = np.pad(lengths, (0, padded - nb))
+        import jax
+        out, out_lens = shard._encode_fn(mesh, cfg, wave)(
+            jax.device_put(bp, meshlib.block_sharding(mesh)),
+            jax.device_put(lp, meshlib.scalar_sharding(mesh)))
+    elif nb > api.API_WAVE:
+        pad = -nb % api.API_WAVE
+        bp = np.pad(blocks, ((0, pad), (0, 0))) if pad else blocks
+        lp = np.pad(lengths, (0, pad)) if pad else lengths
+        out, out_lens = ops_encode.encode_corpus(bp, lp, cfg,
+                                                 wave=api.API_WAVE)
+    else:
+        out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
+    return np.asarray(out)[:nb], np.asarray(out_lens)[:nb]
+
+
+def compress_stream(src, dst, total_len: int, mesh=None,
+                    blocks_per_wave: int = 64,
+                    cfg: CodecConfig = DEFAULT_CONFIG) -> int:
+    """Stream `total_len` bytes from src into a framed stream on dst.
+
+    Chunks are independent, so a framed stream concatenates across waves
+    with no global state (unlike the raw stream's single preamble) — the
+    output is byte-identical to compress() on the whole input. Device
+    fetch + chunk assembly of wave k overlaps wave k+1's encode on a
+    worker thread. Returns the number of bytes written."""
+    import concurrent.futures as cf
+
+    from . import api
+
+    dst.write(STREAM_ID)
+    written = len(STREAM_ID)
+    remaining = total_len
+
+    def assemble(raw, out, out_lens, lengths):
+        nonlocal written
+        crcs = crc32c_batch(
+            np.frombuffer(raw.ljust(len(lengths) * MAX_CHUNK, b"\0"),
+                          np.uint8).reshape(len(lengths), MAX_CHUNK))
+        pos = 0
+        parts = []
+        for i in range(len(lengths)):
+            blen = int(lengths[i])
+            crc = int(crcs[i]) if blen == MAX_CHUNK else crc32c(
+                raw[pos:pos + blen])
+            payload = fmt.varint_encode(blen) + out[i, : out_lens[i]].tobytes()
+            if len(payload) < blen:
+                body = mask(crc).to_bytes(4, "little") + payload
+                parts.append(bytes([CHUNK_COMPRESSED])
+                             + len(body).to_bytes(3, "little") + body)
+            else:
+                body = mask(crc).to_bytes(4, "little") + raw[pos:pos + blen]
+                parts.append(bytes([CHUNK_UNCOMPRESSED])
+                             + len(body).to_bytes(3, "little") + body)
+            pos += blen
+        blob = b"".join(parts)
+        dst.write(blob)
+        written += len(blob)
+
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        while remaining > 0:
+            take = min(blocks_per_wave * MAX_CHUNK, remaining)
+            raw = src.read(take)
+            if len(raw) != take:
+                raise IOError("short read from source")
+            remaining -= take
+            blocks, lengths = api._to_blocks(raw, MAX_CHUNK)
+            out, out_lens = _encode_blocks_any(blocks, lengths, cfg, mesh)
+            if fut is not None:
+                fut.result()
+            fut = pool.submit(assemble, raw, out, out_lens, lengths)
+        if fut is not None:
+            fut.result()
+    return written
 
 
 def _parse_chunks(framed: bytes):
@@ -181,7 +262,8 @@ def _parse_chunks(framed: bytes):
     return chunks
 
 
-def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
+def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
+               mesh=None) -> bytes:
     """Decompress + validate a framed stream (structure and every CRC).
 
     All compressed chunks decode in one batched device pass: a chunk's
@@ -222,7 +304,22 @@ def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
                     framed[s: s + clens[j]], np.uint8)
         clens = clens_dev
         nf = len(comp_idx)
-        if nf > api.API_WAVE:
+        if mesh is not None:
+            from .parallel import mesh as meshlib, shard
+            import jax
+            ndev = mesh.devices.size
+            per_dev = -(-nf // ndev)
+            wave = min(shard.DP_WAVE, per_dev)
+            padded = (-(-per_dev // wave) * wave) * ndev
+            fr = np.pad(frags, ((0, padded - nf), (0, 0)))
+            cl = np.pad(clens, (0, padded - nf))
+            ul = np.pad(ulens, (0, padded - nf))
+            out, ok = shard._decode_fn(mesh, cfg.dp_axis, wave)(
+                jax.device_put(fr, meshlib.block_sharding(mesh)),
+                jax.device_put(cl, meshlib.scalar_sharding(mesh)),
+                jax.device_put(ul, meshlib.scalar_sharding(mesh)))
+            out, ok = np.asarray(out)[:nf], np.asarray(ok)[:nf]
+        elif nf > api.API_WAVE:
             pad = -nf % api.API_WAVE
             fr = np.pad(frags, ((0, pad), (0, 0)))
             cl = np.pad(clens, (0, pad))
