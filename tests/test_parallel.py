@@ -93,3 +93,20 @@ def test_corpus_single_dispatch_matches_waves():
     dec_c, ok_c = ops_decode.decode_corpus(f, c, u, wave=4)
     assert np.array_equal(np.asarray(ok_w), np.asarray(ok_c))
     assert np.array_equal(np.asarray(dec_w), np.asarray(dec_c))
+
+
+def test_multihost_entrypoints_single_process():
+    # The multihost layer is host-count agnostic (jax.distributed just
+    # widens jax.devices()); on one process it must behave exactly like
+    # the local mesh paths — the TLTestRAM-style fake-fabric tier.
+    import io
+    from tpu_snappy.parallel import multihost
+    from tpu_snappy.native import golden
+    data = corpus.load("all-mtg-cards.txt")[: 10 * fmt.BLOCK_SIZE + 99]
+    comp = multihost.compress_dp_global(data)
+    assert golden.uncompress(comp) == data
+    dst = io.BytesIO()
+    stats = multihost.compress_multihost(
+        io.BytesIO(data), dst, len(data), blocks_per_wave=8)
+    assert golden.uncompress(dst.getvalue()) == data
+    assert stats.out_bytes == len(dst.getvalue())
