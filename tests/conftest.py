@@ -29,3 +29,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite accumulates hundreds of distinct XLA:CPU executables in
+    one process; past some threshold a later compile reproducibly
+    segfaults inside backend_compile (observed three runs in a row at the
+    same test, which passes in isolation and in any smaller combination —
+    an upstream XLA:CPU resource/codegen issue, not a codec bug). Dropping
+    the jit caches per module keeps the live-executable count bounded; the
+    cost is re-compiling shared graphs (~+20% suite time)."""
+    yield
+    import jax
+    jax.clear_caches()

@@ -96,8 +96,11 @@ SPARSE_CAP = 12288
 #: 57344 -> 599.3, 61440 -> 606.3 us/frag; tile 8192 loses ~55 at either
 #: cap. The vmapped dense while-loop runs LOCKSTEP to the slowest
 #: fragment of the wave, so fewer mandatory dense rounds win even though
-#: the tail's per-tile local rounds grow.
-TAIL_CAP = 40960
+#: the tail's per-tile local rounds grow. Cross-class check (us/frag,
+#: cap 32768 / 40960 / 57344): mtg-own 668/612/602, mtg-golden
+#: 703/628/618, repeating 251/241/235, random 406/379/378 — 57344
+#: dominates every class.
+TAIL_CAP = 57344
 
 #: Tail kernel tile size (positions per sequential absorb step) and
 #: variant ("fori" dynamic loop; "pair" two-tiles-per-P-step with fixup;
