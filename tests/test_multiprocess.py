@@ -1,0 +1,27 @@
+"""Two-process jax.distributed validation (the real multi-process
+collective path: global mesh spanning processes, cross-process payload
+all-gather, host-0 assembly). Runs tools/multiproc_run.py as subprocesses
+— this environment has one TPU chip, so the CPU backend plays the fabric
+(the DCN analogue of the TLTestRAM fake-SoC tier)."""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_two_process_distributed_encode():
+    r = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "multiproc_run.py")],
+        cwd=ROOT, capture_output=True, text=True, timeout=1200,
+        env={k: v for k, v in __import__("os").environ.items()
+             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    out = json.loads(
+        (ROOT / "results" / "multiproc_2proc.json").read_text())
+    assert out["processes"] == 2 and out["global_devices"] == 8
+    assert out["roundtrip_ok"] and out["oneshot_bytes"] == out["stream_bytes"]

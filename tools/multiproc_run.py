@@ -1,0 +1,104 @@
+"""Two-process jax.distributed validation of the multihost codec path.
+
+The dev environment has one TPU chip, so a real 2-host run is impossible —
+but the multihost LAYER (jax.distributed bootstrap, global mesh spanning
+processes, cross-process manifest all-gather, host-0 assembly) is fully
+exercisable with two CPU processes on one machine: each process owns 4
+virtual CPU devices, the global mesh spans all 8 across both processes,
+and the collectives run over the distributed runtime exactly as they
+would over DCN.
+
+Usage:  python tools/multiproc_run.py            # launcher, spawns 2 ranks
+        python tools/multiproc_run.py --rank N   # worker (internal)
+
+Writes results/multiproc_2proc.json on success.
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def worker(rank: int, port: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    sys.path.insert(0, str(ROOT))
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from tpu_snappy.parallel import multihost
+    multihost.init_distributed(f"localhost:{port}", num_processes=2,
+                               process_id=rank)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import io
+
+    from tpu_snappy.utils import corpus
+    data = corpus.load("all-mtg-cards.txt")[: 16 * 65536 + 12345]
+
+    # One-shot global-mesh compress (collective).
+    comp = multihost.compress_dp_global(data)
+
+    # Streaming multihost encode (collective; only rank 0 keeps output).
+    dst = io.BytesIO()
+    stats = multihost.compress_multihost(io.BytesIO(data), dst, len(data),
+                                         blocks_per_wave=8)
+
+    if rank == 0:
+        from tpu_snappy import reference_codec
+        assert reference_codec.decompress(comp) == data
+        assert reference_codec.decompress(dst.getvalue()) == data
+        out = {
+            "processes": 2,
+            "devices_per_process": 4,
+            "global_devices": 8,
+            "platform": "cpu (jax.distributed validation of the multihost "
+                        "layer; see results/scaling_tpu.json for the "
+                        "real-chip row)",
+            "input_bytes": len(data),
+            "oneshot_bytes": len(comp),
+            "stream_bytes": stats.out_bytes,
+            "roundtrip_ok": True,
+        }
+        (ROOT / "results" / "multiproc_2proc.json").write_text(
+            json.dumps(out, indent=1))
+        print(json.dumps(out), flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rank", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
+    args = ap.parse_args()
+    if args.rank is not None:
+        worker(args.rank, args.port)
+        return 0
+    port = _free_port()
+    procs = [
+        subprocess.Popen([sys.executable, __file__, "--rank", str(r),
+                          "--port", str(port)], cwd=ROOT)
+        for r in range(2)
+    ]
+    rc = 0
+    for p in procs:
+        rc |= p.wait(timeout=1200)
+    print("multiproc run:", "OK" if rc == 0 else f"FAIL rc={rc}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

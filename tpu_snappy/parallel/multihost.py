@@ -31,7 +31,11 @@ def init_distributed(coordinator: str | None = None,
     explicit form suits manual bring-up:
         init_distributed("host0:8476", num_processes=2, process_id=rank)
     """
-    if jax.process_count() > 1:
+    # Idempotency must not touch the backend: jax.process_count() would
+    # initialize XLA, after which jax.distributed.initialize() refuses to
+    # run. Check the distributed client state directly.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     kwargs = {}
     if coordinator is not None:

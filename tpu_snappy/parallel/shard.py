@@ -67,6 +67,19 @@ def _decode_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
     )
 
 
+def fetch_global(x) -> np.ndarray:
+    """Materialize a (possibly process-spanning) sharded array on the host.
+
+    Single-process: a plain fetch. Multi-process: the payload shards live
+    on other hosts' devices, so an explicit cross-process all-gather (the
+    DCN collective of the multihost design) brings the global value to
+    every host — host 0 then assembles the stream."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def blocks_of(data: bytes, block_size: int, padded: int):
     """Host-side split of `data` into (padded, 65536) blocks + lengths."""
     n = len(data)
@@ -97,8 +110,8 @@ def encode_dp(data: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     out, out_lens = _encode_fn(mesh, cfg, wave)(blocks, lens)
 
     # Ordered assembly on host from the manifest (exclusive-scan offsets).
-    out_np = np.asarray(out)
-    lens_np = np.asarray(out_lens)
+    out_np = fetch_global(out)
+    lens_np = np.asarray(out_lens)  # replicated: addressable everywhere
     parts = [fmt.varint_encode(n)]
     for i in range(nblocks):
         parts.append(out_np[i, : lens_np[i]].tobytes())
@@ -134,9 +147,9 @@ def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
         from ..api import _splice_failed_fragments
         result = _splice_failed_fragments(
             frags[:nfrag], clens[:nfrag], ulens[:nfrag],
-            np.asarray(out)[:nfrag], okv)
+            fetch_global(out)[:nfrag], okv)
     else:
-        out_np = np.asarray(out)
+        out_np = fetch_global(out)
         result = b"".join(out_np[i, : ulens[i]].tobytes()
                           for i in range(nfrag))
     if len(result) != total:

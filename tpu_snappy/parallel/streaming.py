@@ -112,8 +112,8 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
 
 def _drain(pending, dst, stats) -> None:
     out, out_lens, nblocks, take = pending
-    out_np = np.asarray(out)
-    lens_np = np.asarray(out_lens)
+    out_np = shard.fetch_global(out)
+    lens_np = np.asarray(out_lens)  # replicated manifest
     for i in range(nblocks):
         dst.write(out_np[i, : lens_np[i]].tobytes())
         stats.out_bytes += int(lens_np[i])
