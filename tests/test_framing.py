@@ -161,3 +161,17 @@ def test_framed_stream_matches_oneshot():
     assert dst.getvalue() == framing.compress(data)
     assert n == len(dst.getvalue())
     assert framing.decompress(dst.getvalue()) == data
+
+
+def test_framed_decompress_stream():
+    import io
+    data = corpus.load("all-mtg-cards.txt")[: 9 * framing.MAX_CHUNK + 4321]
+    framed = framing.compress(data)
+    dst = io.BytesIO()
+    n = framing.decompress_stream(io.BytesIO(framed), dst, chunks_per_wave=3)
+    assert dst.getvalue() == data and n == len(data)
+    # Corruption must raise from the window that contains it.
+    bad = bytearray(framed)
+    bad[len(framed) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        framing.decompress_stream(io.BytesIO(bytes(bad)), io.BytesIO())

@@ -12,6 +12,7 @@ with optional mesh sharding and streaming for large inputs.
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 import sys
 import time
@@ -35,7 +36,19 @@ def main(argv=None):
             p.add_argument("--stream", action="store_true",
                            help="wave-streamed encode (for huge inputs)")
             p.add_argument("--blocks-per-wave", type=int, default=64)
+        if name == "decompress":
+            p.add_argument("--stream", action="store_true",
+                           help="wave-streamed framed decode (requires "
+                                "--framed)")
     args = ap.parse_args(argv)
+
+    # This image's sitecustomize force-registers a TPU backend in a way
+    # that overrides JAX_PLATFORMS from the environment; re-assert the
+    # user's choice via jax.config (same fix as tests/conftest.py).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
 
     from . import api, framing
     from .parallel import mesh as meshlib, shard, streaming
@@ -79,6 +92,19 @@ def main(argv=None):
         print(f"{n} -> {out_n} bytes (ratio {n / max(1, out_n):.3f}) "
               f"in {dt:.2f}s [{n / dt / 1e6:.1f} MB/s]")
     elif args.cmd == "decompress":
+        if getattr(args, "stream", False):
+            if not args.framed:
+                ap.error("--stream decode requires --framed (independent "
+                         "chunks; the raw stream needs its whole table)")
+            n_in = args.infile.stat().st_size
+            t0 = time.perf_counter()
+            with args.infile.open("rb") as src, \
+                    args.outfile.open("wb") as dst:
+                n_out = framing.decompress_stream(src, dst, mesh)
+            dt = time.perf_counter() - t0
+            print(f"{n_in} -> {n_out} bytes in {dt:.2f}s "
+                  f"[{n_out / dt / 1e6:.1f} MB/s]")
+            return 0
         comp = args.infile.read_bytes()
         t0 = time.perf_counter()
         data = decompress_fn(comp)

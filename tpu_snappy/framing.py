@@ -262,34 +262,36 @@ def _parse_chunks(framed: bytes):
     return chunks
 
 
-def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
-               mesh=None) -> bytes:
-    """Decompress + validate a framed stream (structure and every CRC).
+def _decode_data_chunks(bodies: list[tuple[int, bytes]],
+                        cfg: CodecConfig, mesh) -> list[bytes]:
+    """Decode + CRC-verify a window of data chunks, in order.
 
-    All compressed chunks decode in one batched device pass: a chunk's
-    uncompressed size is <= 64 KB by spec, so each is exactly one fragment
-    of the fragment-parallel decoder — the framing layer IS the fragment
-    table."""
+    bodies: (type, body) pairs where body = 4-byte masked CRC + payload
+    (compressed: varint ulen + Snappy elements; uncompressed: raw bytes).
+    All compressed chunks of the window decode in one batched device pass:
+    a chunk's uncompressed size is <= 64 KB by spec, so each is exactly
+    one fragment of the fragment-parallel decoder — the framing layer IS
+    the fragment table. Raises ValueError with the (window-relative) chunk
+    index on corruption."""
     from .ops import decode as ops_decode
     from . import api
 
-    chunks = _parse_chunks(framed)
-    comp_idx = [i for i, (t, _, _) in enumerate(chunks)
+    comp_idx = [i for i, (t, _) in enumerate(bodies)
                 if t == CHUNK_COMPRESSED]
-    out_parts: list[bytes | None] = [None] * len(chunks)
+    out_parts: list[bytes | None] = [None] * len(bodies)
 
     if comp_idx:
         clens = np.zeros(len(comp_idx), np.int32)
         ulens = np.zeros(len(comp_idx), np.int32)
-        starts = []
+        payloads = []
         for j, i in enumerate(comp_idx):
-            _, off, ln = chunks[i]
-            ulen, vstart = fmt.varint_decode(framed[off + 4: off + ln])
+            body = bodies[i][1]
+            ulen, vstart = fmt.varint_decode(body[4:])
             if ulen > MAX_CHUNK:
                 raise ValueError("chunk uncompressed size exceeds 65536")
-            clens[j] = ln - 4 - vstart
+            clens[j] = len(body) - 4 - vstart
             ulens[j] = ulen
-            starts.append(off + 4 + vstart)
+            payloads.append(body[4 + vstart:])
         # Spec-valid chunks can exceed the device fragment capacity
         # (sr_max_compressed_length(65536) ~= 76.5 KB; adversarial all-
         # literal encoders reach ~131 KB). Those decode on the host path
@@ -298,10 +300,9 @@ def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
         clens_dev = np.where(oversize, 0, clens).astype(np.int32)
         w = ops_decode.frag_width(clens_dev)
         frags = np.zeros((len(comp_idx), w), np.uint8)
-        for j, s in enumerate(starts):
+        for j, p in enumerate(payloads):
             if not oversize[j]:
-                frags[j, : clens[j]] = np.frombuffer(
-                    framed[s: s + clens[j]], np.uint8)
+                frags[j, : clens[j]] = np.frombuffer(p, np.uint8)
         clens = clens_dev
         nf = len(comp_idx)
         if mesh is not None:
@@ -318,7 +319,7 @@ def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
                 jax.device_put(fr, meshlib.block_sharding(mesh)),
                 jax.device_put(cl, meshlib.scalar_sharding(mesh)),
                 jax.device_put(ul, meshlib.scalar_sharding(mesh)))
-            out, ok = np.asarray(out)[:nf], np.asarray(ok)[:nf]
+            out, ok = shard.fetch_global(out)[:nf], np.asarray(ok)[:nf]
         elif nf > api.API_WAVE:
             pad = -nf % api.API_WAVE
             fr = np.pad(frags, ((0, pad), (0, 0)))
@@ -330,26 +331,83 @@ def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
             out, ok = ops_decode.decode_fragments(frags, clens, ulens, cfg)
             out, ok = np.asarray(out), np.asarray(ok)
         for j, i in enumerate(comp_idx):
-            _, off, ln = chunks[i]
+            body = bodies[i][1]
             if ok[j] and not oversize[j]:
                 piece = out[j, : ulens[j]].tobytes()
             else:
                 # Exotic-but-valid or corrupt: the sequential host decoder
                 # settles it (decodes the former, raises on the latter).
                 from . import reference_codec
-                piece = reference_codec.decompress(framed[off + 4: off + ln])
-            want = unmask(int.from_bytes(framed[off: off + 4], "little"))
+                piece = reference_codec.decompress(body[4:])
+            want = unmask(int.from_bytes(body[:4], "little"))
             if crc32c(piece) != want:
                 raise ValueError(f"chunk {i}: CRC-32C mismatch")
             out_parts[i] = piece
 
-    for i, (typ, off, ln) in enumerate(chunks):
+    for i, (typ, body) in enumerate(bodies):
         if typ == CHUNK_UNCOMPRESSED:
-            piece = framed[off + 4: off + ln]
-            if ln - 4 > MAX_CHUNK:
+            piece = body[4:]
+            if len(piece) > MAX_CHUNK:
                 raise ValueError("uncompressed chunk exceeds 65536")
-            want = unmask(int.from_bytes(framed[off: off + 4], "little"))
+            want = unmask(int.from_bytes(body[:4], "little"))
             if crc32c(piece) != want:
                 raise ValueError(f"chunk {i}: CRC-32C mismatch")
             out_parts[i] = piece
-    return b"".join(p for p in out_parts if p is not None)
+    return [p for p in out_parts if p is not None]
+
+
+def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
+               mesh=None) -> bytes:
+    """Decompress + validate a framed stream (structure and every CRC);
+    see _decode_data_chunks for the batched device pass."""
+    chunks = _parse_chunks(framed)
+    bodies = [(t, framed[off: off + ln]) for t, off, ln in chunks]
+    return b"".join(_decode_data_chunks(bodies, cfg, mesh))
+
+
+def decompress_stream(src, dst, mesh=None, chunks_per_wave: int = 64,
+                      cfg: CodecConfig = DEFAULT_CONFIG) -> int:
+    """Stream-decode a framed stream from src to dst in chunk waves.
+
+    Chunks are independent, so windows of chunks_per_wave data chunks
+    decode batch-wise without materializing the whole stream — the framed
+    counterpart of parallel/streaming.py. Returns bytes written."""
+    head = src.read(len(STREAM_ID))
+    if head != STREAM_ID:
+        raise ValueError("missing stream identifier chunk")
+    written = 0
+    window: list[tuple[int, bytes]] = []
+
+    def flush():
+        nonlocal written
+        for piece in _decode_data_chunks(window, cfg, mesh):
+            dst.write(piece)
+            written += len(piece)
+        window.clear()
+
+    while True:
+        hdr = src.read(4)
+        if not hdr:
+            break
+        if len(hdr) != 4:
+            raise ValueError("truncated chunk header")
+        typ = hdr[0]
+        ln = int.from_bytes(hdr[1:4], "little")
+        body = src.read(ln)
+        if len(body) != ln:
+            raise ValueError("truncated chunk payload")
+        if typ == CHUNK_STREAM_ID:
+            if hdr + body != STREAM_ID:
+                raise ValueError("malformed repeated stream identifier")
+        elif typ in (CHUNK_COMPRESSED, CHUNK_UNCOMPRESSED):
+            if ln < 4:
+                raise ValueError("data chunk shorter than its checksum")
+            window.append((typ, body))
+            if len(window) >= chunks_per_wave:
+                flush()
+        elif typ == CHUNK_PADDING or typ >= 0x80:
+            pass  # skippable
+        else:
+            raise ValueError(f"reserved unskippable chunk type {typ:#x}")
+    flush()
+    return written
