@@ -248,6 +248,11 @@ def main():
         "host_assembly_ms": round(t_asm * 1e3, 2),
         "encode_sustained_GBps": round(sus_gbps, 4),
         "decode_sustained_GBps": round(dec_sus_gbps, 4),
+        # Cycle-normalized comparable: the reference RTL reports cycles in
+        # simulation only (3.50 cyc/B encode steady state,
+        # benchmark/hw_results.csv:25; decode unimplemented). v5e ~940 MHz.
+        "encode_cyc_per_byte": round(0.94e9 / (enc_gbps * 1e9), 2),
+        "ref_hw_encode_cyc_per_byte": 3.50,
     }))
 
 

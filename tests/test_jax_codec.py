@@ -169,3 +169,24 @@ def test_probe_dedup_speed_knob():
     run = (b"x" * 300 + b"period17-line\n\x00\x00\x00") * 40
     comp = api.compress(run, cfg=cfg, small_fastpath=False)
     assert golden.uncompress(comp) == run
+
+
+@pytest.mark.parametrize("flatten", ["class", "full", "lift", "off"])
+def test_flatten_modes_roundtrip(flatten):
+    # All chain-flattening modes (config.flatten) must emit valid Snappy
+    # accepted by both goldens. "lift" is the digit-lift ancestor variant
+    # (encode._candidate_offsets): measured bars-PASS with a small ratio
+    # win on mtg (-51150 vs -48683 B under golden) but decode-depth
+    # neutral, so "class" stays the default.
+    import dataclasses
+    from tpu_snappy.config import DEFAULT_CONFIG
+    cfg = dataclasses.replace(DEFAULT_CONFIG, flatten=flatten)
+    rng = np.random.default_rng(11)
+    words = [rng.integers(97, 123, rng.integers(3, 9), dtype=np.uint8)
+             .tobytes() for _ in range(50)]
+    data = b" ".join(words[int(i)] for i in rng.integers(0, 50, 30000))
+    data = data[:70000] + b"\x00" * 600 + data[:3000]
+    comp = api.compress(data, cfg=cfg, small_fastpath=False)
+    assert golden.uncompress(comp) == data
+    assert ref.decompress(comp) == data
+    assert api.decompress(comp, small_fastpath=False) == data

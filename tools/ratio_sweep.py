@@ -40,6 +40,7 @@ def main():
         ("K=12 p=20", dataclasses.replace(DEFAULT_CONFIG, candidates=12, probes=20), 4),
         ("K=12 p=24", dataclasses.replace(DEFAULT_CONFIG, candidates=12, probes=24), 4),
         ("K=11 p=24", dataclasses.replace(DEFAULT_CONFIG, candidates=11, probes=24), 4),
+        ("flatten=lift", dataclasses.replace(DEFAULT_CONFIG, flatten="lift"), 4),
     ]
     for name, cfg, levels in variants:
         old = ops_encode.STICKY_LEVELS

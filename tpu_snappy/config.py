@@ -70,8 +70,13 @@ class CodecConfig:
     #: candidate's tag class (measurably improves ratio on text: full corpus
     #: 0.960 vs snappy with, 0.965 without, at ~15% encode cost); "full"
     #: always takes the globally-first occurrence, upgrading some copy1 tags
-    #: to copy2 (+1 B each) to buy decoder doubling rounds; "off" disables
-    #: flattening. See encode._flat_gate.
+    #: to copy2 (+1 B each) to buy decoder doubling rounds; "lift" replaces
+    #: the oldest-occurrence role with a base-16 digit-lift ancestor
+    #: (bars-PASS, mtg ratio -51150 vs golden vs "class"'s -48683, but
+    #: decode-depth NEUTRAL — the gate+sticky+commit pipeline washes out
+    #: the digit alignment — and it costs 3 extra rank-space forward-fills,
+    #: so "class" stays default); "off" disables flattening. See
+    #: encode._flat_gate.
     flatten: str = "class"
 
     #: Lazy (one-position-lookahead) parsing threshold. 0 = pure greedy.

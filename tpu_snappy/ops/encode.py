@@ -144,8 +144,46 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         first = jnp.where(
             (w_s != jnp.uint32(0xFFFFFFFF)) & (first_pos < pos_s),
             pos_s - first_pos, 0)
+        if flatten == "lift":
+            # Digit-lift ancestor (decode co-design v2): instead of the
+            # run-head ("first", depth-1 chains but far offsets) or the
+            # nearest in-class occurrence (depth ~ occurrence count), point
+            # at the occurrence whose index has the lowest nonzero base-16
+            # digit cleared. Each hop zeroes one more low digit, so chain
+            # depth <= number of base-16 digits (<= 4 for any run), while
+            # 15/16 of hops span <= 16 occurrences (usually still copy1
+            # class). Computed in rank space with three forward-fills: the
+            # occurrence index q is rank minus the run head's rank, and the
+            # latest D^j-aligned occurrence's position forward-fills from
+            # the q % D^j == 0 marks (q == 0 marks every run head, so fills
+            # never leak across runs).
+            head_rank = _ffill(run_start, rank)
+            q = rank - head_rank
+            a1 = _ffill(q % 16 == 0, pos_s)
+            a2 = _ffill(q % 256 == 0, pos_s)
+            a3 = _ffill(q % 4096 == 0, pos_s)
+            anc = jnp.where(q % 16 != 0, a1,
+                            jnp.where(q % 256 != 0, a2,
+                                      jnp.where(q % 4096 != 0, a3,
+                                                first_pos)))
+            lift = jnp.where(
+                (w_s != jnp.uint32(0xFFFFFFFF)) & (anc < pos_s),
+                pos_s - anc, 0)
         if flatten == "full":
             flat = first
+        elif flatten == "lift":
+            # Same class-preserving gate shape as "class", with the lift
+            # ancestor in the oldest-occurrence role (first stays the
+            # fallback when the position has no in-class lift).
+            c0 = offs[0]
+            in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0)
+                   for o in offs]
+            m1 = functools.reduce(jnp.maximum, in1)
+            m2 = functools.reduce(jnp.maximum, offs)
+            l1 = (lift > 0) & (lift < fmt.COPY1_MAX_OFFSET)
+            flat = jnp.where(c0 < fmt.COPY1_MAX_OFFSET,
+                             jnp.where(l1, lift, m1),
+                             jnp.where(lift > 0, lift, m2))
         else:
             c0 = offs[0]
             in1 = [jnp.where((o > 0) & (o < fmt.COPY1_MAX_OFFSET), o, 0)
