@@ -10,4 +10,10 @@ from .config import CodecConfig, DEFAULT_CONFIG  # noqa: F401
 from . import format  # noqa: F401
 from . import reference_codec  # noqa: F401
 
+# Lazy conveniences (import jax/numpy only when touched):
+#   tpu_snappy.api     — compress()/decompress() host API
+#   tpu_snappy.compat  — python-snappy drop-in surface
+#   tpu_snappy.hadoop  — Hadoop SnappyCodec container
+#   tpu_snappy.framing — official framing-format container
+
 __version__ = "0.1.0"
