@@ -166,6 +166,41 @@ def test_mixed_chain():
     check(stream, out)
 
 
+def test_copy4_len1_legal():
+    # len-1 copy4 (spec-legal, no encoder emits it): tag = 3 | 0<<2 = 0x03
+    check(b"\x05" + b"\x0c" + b"abcd" + b"\x03\x02\x00\x00\x00", b"abcdc")
+
+
+# --- exact fragment boundary: hand-built TWO-fragment stream ----------------
+
+def test_two_fragment_stream_device_path():
+    # Fragment 1 fills output positions [0, 65536) exactly:
+    #   literal "x"*16          tag (16-1)<<2 = 0x3C
+    #   1023 x copy2 len64 off16  tag 2 | 63<<2 = 0xFE, off LE 0x10 0x00
+    #   copy2 len48 off16         tag 2 | 47<<2 = 0xBE
+    # 16 + 1023*64 + 48 = 65536. Fragment 2 restarts (offsets stay local,
+    # as every known encoder's 64 KB blocking guarantees):
+    #   literal "abcd" (0x0C) + copy1 len4 off4 (0x01 0x04)
+    out = b"x" * 65536 + b"abcdabcd"
+    stream = (b"\x88\x80\x04"                     # varint 65544
+              + b"\x3c" + b"x" * 16
+              + (b"\xfe\x10\x00" * 1023)
+              + b"\xbe\x10\x00"
+              + b"\x0c" + b"abcd" + b"\x01\x04")
+    check(stream, out)
+
+
+# --- varint preamble edge forms ---------------------------------------------
+
+def test_empty_stream():
+    check(b"\x00", b"")
+
+
+def test_varint_non_canonical_zero_padding():
+    # 1 encoded as 0x81 0x00 (non-canonical but decodable 7-bit LE).
+    check(b"\x81\x00" + b"\x00A", b"A")
+
+
 # --- malformed streams must raise everywhere --------------------------------
 
 @pytest.mark.parametrize("bad", [
@@ -174,6 +209,10 @@ def test_mixed_chain():
     b"\x08" + b"\x0c" + b"abcd" + b"\x0d\x08",    # offset 8 > written 4
     b"\x08" + b"\x0c" + b"abcd" + b"\x01\x00",    # offset 0
     b"\x09" + b"\x0c" + b"abcd" + b"\x01\x04",    # preamble length mismatch
+    b"\x05" + b"\x0c" + b"abcd" + b"\x02\x00\x00",  # copy2 offset 0
+    b"\x05" + b"\x0c" + b"abcd" + b"\x03\x00\x00\x00\x00",  # copy4 offset 0
+    b"\x80",                                      # truncated varint preamble
+    b"\x04" + b"\x0c" + b"abcd" + b"\x00",        # trailing byte after chain
 ])
 def test_malformed_raise(bad):
     with pytest.raises(ValueError):
