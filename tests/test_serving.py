@@ -1,0 +1,118 @@
+"""Dynamic-batching codec server (tpu_snappy/serving.py).
+
+Covers: concurrent round-trips bit-exact vs the golden codec, actual
+batching (waves < units when requests overlap), per-request error
+isolation inside a shared wave, exotic-stream host settlement, the host
+fast-path for tiny requests, and close() drain semantics."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tpu_snappy import serving
+from tpu_snappy.native import golden
+from tpu_snappy.utils import corpus
+
+
+def _text(n: int) -> bytes:
+    data = corpus.load("fox-in-socks.txt")
+    return (data * (-(-n // len(data))))[:n]
+
+
+def _rand(n: int, seed=3) -> bytes:
+    return np.random.default_rng(seed).integers(
+        0, 256, n, dtype=np.uint8).tobytes()
+
+
+def test_concurrent_compress_roundtrip_and_batching():
+    payloads = [_text(70_000), _rand(66_000, 1), _text(130_000)[::-1],
+                _rand(65_536, 2)]
+    with serving.CodecServer(wave=4, max_wait_ms=200) as srv:
+        futs = [srv.compress(p) for p in payloads]
+        comps = [f.result(timeout=600) for f in futs]
+        stats = srv.stats
+    for p, c in zip(payloads, comps):
+        assert golden.uncompress(c) == p
+    # 4 requests -> 7 blocks; wave=4 must have coalesced across requests.
+    assert stats.units == 7
+    assert stats.waves <= 2
+    assert stats.occupancy >= 7 / 8
+
+
+def test_decompress_batches_and_matches():
+    payloads = [_text(100_000), _rand(70_000)]
+    comps = [golden.compress(p) for p in payloads]
+    with serving.CodecServer(wave=4, max_wait_ms=200) as srv:
+        futs = [srv.decompress(c) for c in comps]
+        outs = [f.result(timeout=600) for f in futs]
+    assert outs == payloads
+
+
+def test_tiny_requests_host_fastpath():
+    with serving.CodecServer(wave=4) as srv:
+        futs = [srv.compress(bytes([i]) * (i + 1)) for i in range(20)]
+        outs = [f.result(timeout=60) for f in futs]
+        stats = srv.stats
+    assert stats.host_fastpath == 20 and stats.waves == 0
+    for i, c in enumerate(outs):
+        assert golden.uncompress(c) == bytes([i]) * (i + 1)
+
+
+def test_error_isolation_in_shared_wave():
+    good = _text(80_000)
+    comp_good = golden.compress(good)
+    # Deterministically-invalid second stream: 64 KB of RLE 'x', then a
+    # copy whose offset (65537) exceeds everything written (65536) — no
+    # valid decode exists, in any decoder.
+    bad = (b"\x84\x80\x04"
+           + b"\x3c" + b"x" * 16
+           + (b"\xfe\x10\x00" * 1023)
+           + b"\xbe\x10\x00"
+           + b"\x0f" + (65537).to_bytes(4, "little"))
+    with serving.CodecServer(wave=4, max_wait_ms=200) as srv:
+        f_good = srv.decompress(comp_good)
+        f_bad = srv.decompress(bad)
+        assert f_good.result(timeout=600) == good
+        with pytest.raises(ValueError):
+            f_bad.result(timeout=600)
+
+
+def test_exotic_stream_settles_on_host():
+    # Cross-fragment copy (valid, no encoder emits it): 64 KB of 'x' via
+    # RLE, then a second fragment whose first element copies from the
+    # first fragment. The device flags it; the server must settle the
+    # request on the host and return the exact bytes.
+    stream = (b"\x84\x80\x04"                     # varint 65540
+              + b"\x3c" + b"x" * 16               # literal 16
+              + (b"\xfe\x10\x00" * 1023)          # 1023 x copy2 len64 off16
+              + b"\xbe\x10\x00"                   # copy2 len48 off16
+              + b"\x0e\x10\x00")                  # frag2: copy2 len4 off16
+    with serving.CodecServer(wave=4, max_wait_ms=100) as srv:
+        out = srv.decompress(stream).result(timeout=600)
+    assert out == b"x" * 65540
+
+
+def test_many_threads_submit():
+    payloads = {i: _rand(65_536 + 137 * i, seed=i) for i in range(6)}
+    results = {}
+    with serving.CodecServer(wave=8, max_wait_ms=100) as srv:
+        def work(i):
+            comp = srv.compress(payloads[i]).result(timeout=600)
+            results[i] = srv.decompress(comp).result(timeout=600)
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in payloads]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert results == payloads
+
+
+def test_close_rejects_new_work():
+    srv = serving.CodecServer(wave=2, max_wait_ms=10)
+    fut = srv.compress(_text(65_536 * 2))
+    srv.close()
+    assert golden.uncompress(fut.result(timeout=60)) == _text(65_536 * 2)
+    with pytest.raises(RuntimeError):
+        srv.compress(_text(70_000))

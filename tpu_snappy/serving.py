@@ -1,0 +1,293 @@
+"""Dynamic-batching codec server: concurrent requests -> device waves.
+
+The reference is a single-job accelerator: one RoCC `compress(src, dst)`
+command runs at a time and the core spins on the response
+(tests/compression.c:41-61). A TPU deployment serves MANY concurrent
+callers, and the device wants fixed-shape batched work — so the serving
+layer's job is to turn an arbitrary arrival process into full waves:
+
+  caller threads --submit--> block/fragment work-unit queue
+                             (a request fans out into 64 KB units)
+        batcher thread --collect up to `wave` units, or until the
+                         oldest unit has waited `max_wait_ms`-->
+        one jitted dispatch per wave (fixed shapes => one compiled
+        graph per kind, reused forever)
+        --per-unit results--> request assembly --> caller futures
+
+Batching is what buys throughput on TPU (the per-dispatch floor and the
+lockstep wave economics are measured in DESIGN.md); max_wait bounds the
+latency a lone request pays for it. Sub-block requests skip the queue
+entirely and run on the host codec inline (api.SMALL_INPUT_BYTES
+economics: a tiny job should cost microseconds, not a device wave).
+
+Error isolation is per-request: a corrupt stream fails its own future
+(same validation + host-fallback ladder as api.decompress); neighbors
+in the same wave are unaffected (their fragments' ok flags are
+independent by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+
+import numpy as np
+
+from . import api
+from . import format as fmt
+from .config import CodecConfig, DEFAULT_CONFIG
+from .ops import decode as ops_decode
+from .ops import encode as ops_encode
+
+
+@dataclasses.dataclass
+class ServerStats:
+    requests: int = 0
+    host_fastpath: int = 0
+    units: int = 0
+    waves: int = 0
+    wave_slots: int = 0
+
+    @property
+    def occupancy(self) -> float:
+        """Mean fraction of wave slots carrying real work (1.0 = every
+        dispatch was full — the arrival process kept the device fed)."""
+        return self.units / self.wave_slots if self.wave_slots else 0.0
+
+
+class _Request:
+    """One caller request fanned out into `n` work units."""
+
+    def __init__(self, kind: str, n: int, total: int):
+        self.kind = kind
+        self.future: Future = Future()
+        self.parts: list[bytes | None] = [None] * n
+        self.missing = n
+        self.total = total
+        self.failed = False  # decode: some fragment failed device checks
+        self.frags = None    # decode: (F, cap) uint8 for the host fallback
+        self.clens = None
+
+    def deliver(self, idx: int, part: bytes) -> bool:
+        self.parts[idx] = part
+        self.missing -= 1
+        return self.missing == 0
+
+
+class CodecServer:
+    """Thread-safe compress/decompress service with dynamic batching.
+
+    wave: work units (64 KB blocks / fragments) per device dispatch.
+    max_wait_ms: longest a unit waits for wave-mates before a partial
+    wave dispatches anyway (the usual throughput/latency knob).
+    Use as a context manager, or call close()."""
+
+    def __init__(self, cfg: CodecConfig = DEFAULT_CONFIG, wave: int = 8,
+                 max_wait_ms: float = 2.0):
+        self._cfg = cfg
+        self._wave = wave
+        self._max_wait = max_wait_ms / 1e3
+        self._lock = threading.Condition()
+        # Separate queues per kind: encode and decode graphs differ, so a
+        # wave is single-kind. Entries: (request, unit_idx, *unit data).
+        self._q: dict[str, deque] = {"enc": deque(), "dec": deque()}
+        self._closing = False
+        self.stats = ServerStats()
+        import jax
+        # One fixed-shape jitted graph per kind (decode_fragments_jit is
+        # already jitted; widths bucket to few variants).
+        cfg_c = self._cfg
+        self._enc = jax.jit(
+            lambda b, l: ops_encode.encode_blocks(b, l, cfg_c))
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="tpu-snappy-batcher")
+        self._worker.start()
+
+    # ---- caller side ----
+
+    def compress(self, data: bytes) -> Future:
+        """Future[bytes]: standard Snappy stream of `data`."""
+        self._note_request()
+        if len(data) < api.SMALL_INPUT_BYTES and self._cfg == DEFAULT_CONFIG:
+            return self._host(api._host_compress, data)
+        blocks, lengths = api._to_blocks(data, self._cfg.block_size)
+        req = _Request("enc", len(lengths), len(data))
+        with self._lock:
+            self._ensure_open()
+            for i in range(len(lengths)):
+                self._q["enc"].append((req, i, blocks[i], int(lengths[i])))
+            self._lock.notify_all()
+        return req.future
+
+    def decompress(self, comp: bytes) -> Future:
+        """Future[bytes]: decoded payload; malformed input raises
+        ValueError through the future (never synchronously)."""
+        self._note_request()
+        try:
+            total, start = fmt.varint_decode(comp)
+            if (total < api.SMALL_INPUT_BYTES
+                    and self._cfg == DEFAULT_CONFIG):
+                return self._host(api.decompress, comp)
+            frags, clens, ulens = ops_decode.fragment_table(comp, start,
+                                                            total)
+        except ops_decode.FragmentFallback:
+            from . import reference_codec
+            return self._host(reference_codec.decompress, comp)
+        except ValueError as e:
+            fut: Future = Future()
+            fut.set_exception(e)
+            return fut
+        req = _Request("dec", len(ulens), total)
+        req.frags, req.clens = frags, np.asarray(clens)
+        with self._lock:
+            self._ensure_open()
+            for i in range(len(ulens)):
+                self._q["dec"].append(
+                    (req, i, frags[i], int(clens[i]), int(ulens[i])))
+            self._lock.notify_all()
+        return req.future
+
+    def close(self) -> None:
+        """Drain the queues, then stop the batcher."""
+        with self._lock:
+            self._closing = True
+            self._lock.notify_all()
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- internals ----
+
+    def _note_request(self):
+        with self._lock:
+            self.stats.requests += 1
+
+    def _ensure_open(self):
+        if self._closing:
+            raise RuntimeError("CodecServer is closed")
+
+    def _host(self, fn, data) -> Future:
+        fut: Future = Future()
+        try:
+            fut.set_result(fn(data))
+            with self._lock:
+                self.stats.host_fastpath += 1
+        except (ValueError, RuntimeError) as e:
+            fut.set_exception(e)
+        return fut
+
+    def _take_batch(self):
+        """Block until a full wave, a max_wait expiry, or close+drain."""
+        deadline = None
+        with self._lock:
+            while True:
+                kind = None
+                if self._q["enc"] or self._q["dec"]:
+                    # Serve the kind whose head has waited longest — both
+                    # queues carry arrival timestamps implicitly via FIFO;
+                    # alternate fairly by preferring the longer queue.
+                    kind = max(("enc", "dec"), key=lambda k: len(self._q[k]))
+                    if len(self._q[kind]) >= self._wave:
+                        break
+                    now = time.monotonic()
+                    if deadline is None:
+                        deadline = now + self._max_wait
+                    if now >= deadline or self._closing:
+                        break
+                    self._lock.wait(deadline - now)
+                    continue
+                if self._closing:
+                    return None, ()
+                deadline = None
+                self._lock.wait(0.1)
+            units = [self._q[kind].popleft()
+                     for _ in range(min(self._wave, len(self._q[kind])))]
+            self.stats.waves += 1
+            self.stats.wave_slots += self._wave
+            self.stats.units += len(units)
+            return kind, units
+
+    def _run(self):
+        while True:
+            try:
+                kind, units = self._take_batch()
+            except Exception:  # pragma: no cover - defensive
+                continue
+            if kind is None:
+                return
+            try:
+                if kind == "enc":
+                    self._dispatch_encode(units)
+                else:
+                    self._dispatch_decode(units)
+            except Exception as e:  # device-level failure: fail the wave
+                for req, *_ in units:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _dispatch_encode(self, units):
+        W = self._wave
+        blocks = np.zeros((W, fmt.BLOCK_SIZE), np.uint8)
+        lens = np.zeros(W, np.int32)
+        for j, (_req, _i, row, ln) in enumerate(units):
+            blocks[j] = row
+            lens[j] = ln
+        out, out_lens = self._enc(blocks, lens)
+        out = np.asarray(out)
+        out_lens = np.asarray(out_lens)
+        for j, (req, i, _row, _ln) in enumerate(units):
+            if req.deliver(i, out[j, : out_lens[j]].tobytes()):
+                body = b"".join(req.parts)
+                req.future.set_result(fmt.varint_encode(req.total) + body)
+
+    def _dispatch_decode(self, units):
+        W = self._wave
+        clens = np.zeros(W, np.int32)
+        ulens = np.zeros(W, np.int32)
+        for j, (_req, _i, _frag, cl, ul) in enumerate(units):
+            clens[j] = cl
+            ulens[j] = ul
+        width = ops_decode.frag_width(clens)
+        frags = np.zeros((W, width), np.uint8)
+        for j, (_req, _i, frag, cl, _ul) in enumerate(units):
+            frags[j, :cl] = frag[:cl]
+        out, ok = ops_decode.decode_fragments_jit(frags, clens, ulens)
+        out = np.asarray(out)
+        ok = np.asarray(ok)
+        for j, (req, i, _frag, _cl, ul) in enumerate(units):
+            if not ok[j]:
+                # Exotic-but-valid (e.g. a cross-fragment copy) or corrupt.
+                # Mark and keep counting units; the request settles on the
+                # host once all its waves are in (request-granular
+                # fallback — neighbors in this wave are unaffected).
+                req.failed = True
+            if req.deliver(i, out[j, :ul].tobytes()):
+                if req.failed:
+                    self._settle_on_host(req)
+                else:
+                    req.future.set_result(b"".join(req.parts))
+
+    def _settle_on_host(self, req: _Request):
+        """Sequential host decode of a whole request whose device pass
+        flagged a fragment — decodes valid-but-exotic streams (with full
+        cross-fragment context), raises precisely for corrupt ones."""
+        from . import reference_codec
+        try:
+            ctx = bytearray()
+            for i in range(len(req.clens)):
+                reference_codec.decompress_elements(
+                    req.frags[i].tobytes(), 0, int(req.clens[i]), ctx)
+            if len(ctx) != req.total:
+                raise ValueError(
+                    f"decoded {len(ctx)} bytes, preamble said {req.total}")
+            req.future.set_result(bytes(ctx))
+        except (ValueError, IndexError) as e:
+            req.future.set_exception(
+                ValueError(f"invalid Snappy stream: {e}"))
