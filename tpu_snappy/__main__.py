@@ -32,6 +32,9 @@ def main(argv=None):
                        help="Snappy framing format (chunked container "
                             "with per-chunk CRC-32C) instead of a raw "
                             "block stream")
+        p.add_argument("--hadoop", action="store_true",
+                       help="Hadoop SnappyCodec container (Spark/HDFS "
+                            ".snappy block framing)")
         if name == "compress":
             p.add_argument("--stream", action="store_true",
                            help="wave-streamed encode (for huge inputs)")
@@ -54,7 +57,17 @@ def main(argv=None):
     from .parallel import mesh as meshlib, shard, streaming
 
     mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
-    if args.framed:
+    if args.framed and args.hadoop:
+        ap.error("--framed and --hadoop are mutually exclusive containers")
+    if args.hadoop:
+        if args.mesh or getattr(args, "stream", False):
+            ap.error("--hadoop composes with neither --mesh nor --stream "
+                     "yet; use the framed container for those")
+        from . import hadoop
+
+        compress_fn = hadoop.compress
+        decompress_fn = hadoop.decompress
+    elif args.framed:
         # Framed chunks are independent, so the container composes with
         # mesh sharding and streaming directly.
         def compress_fn(d):
