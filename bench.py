@@ -100,6 +100,20 @@ def main():
     except Exception as e:  # native toolchain unavailable: report, don't fail
         log(f"golden harness unavailable: {e}")
 
+    # BASELINE.md's bar taken literally: bit-for-bit decompressible by
+    # ACTUAL google/snappy (system libsnappy), ratio at-or-below its output.
+    real_rt = real_ratio = None
+    try:
+        from tpu_snappy.native import realsnappy
+        if realsnappy.available():
+            real_rt = realsnappy.uncompress(comp) == data
+            rsize = len(realsnappy.compress(data))
+            real_ratio = round(csize / rsize, 4)
+            log(f"round-trip vs REAL google/snappy: {real_rt}; "
+                f"size vs its {rsize} (ratio {real_ratio})")
+    except Exception as e:
+        log(f"real snappy unavailable: {e}")
+
     # Throughput: dispatch ITERS full corpus passes, then sync ONCE on the
     # final manifest — the device queue is sequential, so the last result
     # bounds all prior work, and every extra host fetch costs a full tunnel
@@ -244,6 +258,8 @@ def main():
         "decode_GBps": round(dec_gbps, 4),
         "ratio_vs_snappy": round(csize / gsize, 4) if ratio_ok is not None else None,
         "roundtrip_ok": bool(rt_ok),
+        "roundtrip_vs_real_google_snappy": real_rt,
+        "ratio_vs_real_google_snappy": real_ratio,
         "encode_e2e_GBps": round(e2e_gbps, 4),
         "host_assembly_ms": round(t_asm * 1e3, 2),
         "encode_sustained_GBps": round(sus_gbps, 4),

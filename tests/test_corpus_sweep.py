@@ -5,7 +5,7 @@ pipeline), with the bit-exactness assertions the reference lacked."""
 import pytest
 
 from tpu_snappy import api
-from tpu_snappy.native import golden
+from tpu_snappy.native import golden, realsnappy
 from tpu_snappy.utils import corpus
 
 
@@ -13,7 +13,8 @@ from tpu_snappy.utils import corpus
 def test_all_36_corpus_files_roundtrip():
     files = corpus.corpus_files()
     assert len(files) == 36, files  # 3 types x 12 sizes
-    total_ours = total_gold = 0
+    real = realsnappy.available()
+    total_ours = total_gold = total_real = 0
     for name in files:
         data = corpus.load(name)
         comp = api.compress(data, small_fastpath=False)
@@ -21,9 +22,20 @@ def test_all_36_corpus_files_roundtrip():
         assert api.decompress(comp, small_fastpath=False) == data, name
         total_ours += len(comp)
         total_gold += len(golden.compress(data))
+        if real:
+            # BASELINE.md's literal bar: bit-for-bit decompressible by
+            # ACTUAL google/snappy (system libsnappy, v1.1.9) — and the
+            # foreign direction decodes through our host golden.
+            assert realsnappy.uncompress(comp) == data, name
+            c_real = realsnappy.compress(data)
+            total_real += len(c_real)
+            assert golden.uncompress(c_real) == data, name
     # Aggregate ratio across the whole sweep: strictly at-or-below software
-    # Snappy (per-file wins/losses are covered elsewhere).
+    # Snappy (per-file wins/losses are covered elsewhere) — both the
+    # clean-room golden's and, when present, the real library's output.
     assert total_ours <= total_gold
+    if real:
+        assert total_ours <= total_real
 
 
 @pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")

@@ -1,0 +1,109 @@
+"""Certification against the REAL google/snappy (system libsnappy 1.1.9).
+
+This is BASELINE.md's correctness bar taken literally — the reference
+links actual google/snappy (tests/swcompression.cc:31) — and the
+strongest possible mitigation for the shared-misreading risk VERDICT
+round 1 flagged: every direction crosses implementations that share no
+code with this repo.
+
+  ours -> real      device/api streams decode bit-exact via libsnappy
+  real -> ours      libsnappy streams decode via the DEVICE pipeline,
+                    the host golden, and the Python reference codec
+  golden <-> real   the clean-room C++ golden and libsnappy mutually
+                    certify on fuzzed inputs
+
+All tests skip where no system snappy exists (the clean-room goldens
+remain the always-on certifiers)."""
+
+import numpy as np
+import pytest
+
+from tpu_snappy import api, reference_codec
+from tpu_snappy.native import golden, realsnappy
+from tpu_snappy.utils import corpus
+
+pytestmark = pytest.mark.skipif(not realsnappy.available(),
+                                reason="system libsnappy not present")
+
+
+def _rand(n, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, n, dtype=np.uint8).tobytes()
+
+
+def _texty(n, seed=1):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"fox", b"sock", b"box", b"knox", b"now", b"comes",
+             b"mr", b"when", b"tweetle", b"beetle", b"battle", b"puddle"]
+    out = []
+    while sum(map(len, out)) < n:
+        out.append(words[int(rng.integers(len(words)))])
+    return b" ".join(out)[:n]
+
+
+def test_device_streams_decode_via_real_snappy():
+    for name in ("fox-in-socks.txt", "randomASCII.txt",
+                 "alignerTestData.txt"):
+        data = corpus.load(name)
+        comp = api.compress(data, small_fastpath=False)
+        assert realsnappy.uncompress(comp) == data, name
+        assert realsnappy.validate(comp), name
+
+
+def test_real_streams_decode_via_device_pipeline():
+    # Foreign multi-fragment stream through the fragment-parallel decoder
+    # (not the host fallback): real snappy's own 64 KB blocking keeps
+    # offsets fragment-local, so the device path must take it.
+    data = corpus.load("all-mtg-cards.txt")[:262_144]
+    c_real = realsnappy.compress(data)
+    assert api.decompress(c_real, small_fastpath=False) == data
+    assert reference_codec.decompress(c_real) == data
+    assert golden.uncompress(c_real) == data
+
+
+def test_fuzz_cross_certification():
+    cases = [b"", b"a", b"ab" * 40000, _rand(100_000), _texty(80_000),
+             _rand(65_536), _texty(65_537), b"\x00" * 70_000,
+             bytes(range(256)) * 300]
+    for seed in range(8):
+        cases.append(_rand(int(np.random.default_rng(seed).integers(
+            1, 200_000)), seed + 10))
+    for i, data in enumerate(cases):
+        # golden <-> real
+        assert realsnappy.uncompress(golden.compress(data)) == data, i
+        assert golden.uncompress(realsnappy.compress(data)) == data, i
+        # python reference <-> real
+        assert realsnappy.uncompress(reference_codec.compress(data)) == data
+        assert reference_codec.decompress(realsnappy.compress(data)) == data
+
+
+def test_real_rejects_what_we_reject():
+    bads = [
+        b"\x04" + b"\x0c" + b"ab",                  # truncated literal
+        b"\x08" + b"\x0c" + b"abcd" + b"\x01",      # truncated copy1
+        b"\x08" + b"\x0c" + b"abcd" + b"\x0d\x08",  # offset beyond output
+        b"\x08" + b"\x0c" + b"abcd" + b"\x01\x00",  # offset 0
+    ]
+    for i, bad in enumerate(bads):
+        assert not realsnappy.validate(bad), i
+        with pytest.raises(ValueError):
+            realsnappy.uncompress(bad)
+        with pytest.raises(ValueError):
+            reference_codec.decompress(bad)
+
+
+def test_framed_chunks_decode_via_real_snappy():
+    # The framing container's compressed chunk payloads are themselves
+    # raw snappy streams; real snappy must decode each one.
+    from tpu_snappy import framing
+    data = corpus.load("fox-in-socks.txt") * 30
+    framed = framing.compress(data)
+    chunks = framing._parse_chunks(framed)
+    got = b""
+    for typ, off, ln in chunks:
+        body = framed[off: off + ln]
+        if typ == framing.CHUNK_COMPRESSED:
+            got += realsnappy.uncompress(body[4:])
+        elif typ == framing.CHUNK_UNCOMPRESSED:
+            got += body[4:]
+    assert got == data
