@@ -109,6 +109,27 @@ def test_many_threads_submit():
     assert results == payloads
 
 
+def test_mesh_serving_matches_single_device():
+    # Same server semantics over the virtual 8-device DP mesh: each
+    # dispatch spans the mesh (wave x 8 slots), results are bit-identical
+    # to the single-device path and golden-decodable.
+    from tpu_snappy.parallel import mesh as meshlib
+    mesh = meshlib.make_mesh(8)
+    payloads = [_text(65_536 * 2), _rand(65_536 + 5)]
+    with serving.CodecServer(wave=1, max_wait_ms=150, mesh=mesh) as srv:
+        comps = [f.result(timeout=600)
+                 for f in [srv.compress(p) for p in payloads]]
+        futs = [srv.decompress(c) for c in comps]
+        outs = [f.result(timeout=600) for f in futs]
+        stats = srv.stats
+    assert outs == payloads
+    for p, c in zip(payloads, comps):
+        assert golden.uncompress(c) == p
+        from tpu_snappy import api
+        assert c == api.compress(p, small_fastpath=False)
+    assert stats.waves >= 2  # one encode + one decode dispatch at least
+
+
 def test_close_rejects_new_work():
     srv = serving.CodecServer(wave=2, max_wait_ms=10)
     fut = srv.compress(_text(65_536 * 2))

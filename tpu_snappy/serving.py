@@ -80,15 +80,21 @@ class _Request:
 class CodecServer:
     """Thread-safe compress/decompress service with dynamic batching.
 
-    wave: work units (64 KB blocks / fragments) per device dispatch.
+    wave: work units (64 KB blocks / fragments) per device dispatch
+    (per DEVICE when a mesh is given — a mesh dispatch carries
+    wave x n_devices slots, data-parallel sharded).
     max_wait_ms: longest a unit waits for wave-mates before a partial
     wave dispatches anyway (the usual throughput/latency knob).
+    mesh: a jax.sharding.Mesh to serve over every chip at once — the
+    batcher is unchanged, each dispatch just spans the mesh (block DP,
+    the same shardings as parallel/shard.py).
     Use as a context manager, or call close()."""
 
     def __init__(self, cfg: CodecConfig = DEFAULT_CONFIG, wave: int = 8,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, mesh=None):
         self._cfg = cfg
-        self._wave = wave
+        self._mesh = mesh
+        self._wave = wave * (mesh.devices.size if mesh is not None else 1)
         self._max_wait = max_wait_ms / 1e3
         self._lock = threading.Condition()
         # Separate queues per kind: encode and decode graphs differ, so a
@@ -100,8 +106,30 @@ class CodecServer:
         # One fixed-shape jitted graph per kind (decode_fragments_jit is
         # already jitted; widths bucket to few variants).
         cfg_c = self._cfg
-        self._enc = jax.jit(
-            lambda b, l: ops_encode.encode_blocks(b, l, cfg_c))
+        if mesh is not None:
+            from .parallel import mesh as meshlib, shard
+            self._shard = shard
+            self._bspec = meshlib.block_sharding(mesh)
+            self._sspec = meshlib.scalar_sharding(mesh)
+            enc_fn = shard._encode_fn(mesh, cfg_c, wave)
+            dec_fn = shard._decode_fn(mesh, cfg_c.dp_axis, wave)
+
+            def _enc(b, l):
+                out, lens = enc_fn(jax.device_put(b, self._bspec),
+                                   jax.device_put(l, self._sspec))
+                return shard.fetch_global(out), np.asarray(lens)
+
+            def _dec(f, c, u):
+                out, ok = dec_fn(jax.device_put(f, self._bspec),
+                                 jax.device_put(c, self._sspec),
+                                 jax.device_put(u, self._sspec))
+                return shard.fetch_global(out), np.asarray(ok)
+
+            self._enc, self._dec = _enc, _dec
+        else:
+            self._enc = jax.jit(
+                lambda b, l: ops_encode.encode_blocks(b, l, cfg_c))
+            self._dec = ops_decode.decode_fragments_jit
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tpu-snappy-batcher")
         self._worker.start()
@@ -258,7 +286,7 @@ class CodecServer:
         frags = np.zeros((W, width), np.uint8)
         for j, (_req, _i, frag, cl, _ul) in enumerate(units):
             frags[j, :cl] = frag[:cl]
-        out, ok = ops_decode.decode_fragments_jit(frags, clens, ulens)
+        out, ok = self._dec(frags, clens, ulens)
         out = np.asarray(out)
         ok = np.asarray(ok)
         for j, (req, i, _frag, _cl, ul) in enumerate(units):
