@@ -142,6 +142,31 @@ def test_stream_file_helpers():
     assert golden.uncompress_framed(comp_f.getvalue()) == data
 
 
+def test_stream_decompressor_skippable_chunks():
+    # Padding (0xFE) and reserved-skippable (>=0x80) chunks may appear
+    # anywhere after the stream id; the decompressor must skip them.
+    data = _text(70_000)
+    framed = framing.compress(data)
+    head = len(framing.STREAM_ID)
+    pad = bytes([framing.CHUNK_PADDING]) + (5).to_bytes(3, "little") + b"\0" * 5
+    skp = bytes([0x93]) + (2).to_bytes(3, "little") + b"zz"
+    spliced = framed[:head] + pad + framed[head:] + skp
+    d = compat.StreamDecompressor()
+    assert d.decompress(spliced) == data
+    assert d.flush() == b""
+
+
+def test_stream_decompressor_reserved_unskippable_raises():
+    framed = framing.compress(b"y" * 200)
+    head = len(framing.STREAM_ID)
+    bad = (framed[:head]
+           + bytes([0x40]) + (1).to_bytes(3, "little") + b"\0"
+           + framed[head:])
+    d = compat.StreamDecompressor()
+    with pytest.raises(compat.UncompressError):
+        d.decompress(bad)
+
+
 # ---- Hadoop container ----
 
 def test_hadoop_roundtrip_and_layout():
@@ -179,6 +204,11 @@ def test_hadoop_truncation_errors():
         hadoop.decompress(blob[:-1])
     with pytest.raises(ValueError):
         hadoop.decompress(blob[:6])
+
+
+def test_hadoop_empty_input():
+    assert hadoop.compress(b"") == b""
+    assert hadoop.decompress(b"") == b""
 
 
 def test_hadoop_exposed_via_compat():

@@ -130,6 +130,18 @@ def test_mesh_serving_matches_single_device():
     assert stats.waves >= 2  # one encode + one decode dispatch at least
 
 
+def test_request_spanning_multiple_waves():
+    # A 6-block request at wave=4 spans two dispatches; assembly must
+    # stitch parts in order across waves.
+    data = _text(65_536 * 5 + 1234)
+    with serving.CodecServer(wave=4, max_wait_ms=50) as srv:
+        comp = srv.compress(data).result(timeout=600)
+        back = srv.decompress(comp).result(timeout=600)
+        stats = srv.stats
+    assert back == data and golden.uncompress(comp) == data
+    assert stats.waves >= 4  # 2 encode + 2 decode dispatches
+
+
 def test_close_rejects_new_work():
     srv = serving.CodecServer(wave=2, max_wait_ms=10)
     fut = srv.compress(_text(65_536 * 2))
