@@ -1,4 +1,4 @@
-"""Two-process jax.distributed validation of the multihost codec path.
+"""Multi-process jax.distributed validation of the multihost codec path.
 
 The dev environment has one TPU chip, so a real 2-host run is impossible —
 but the multihost LAYER (jax.distributed bootstrap, global mesh spanning
@@ -8,10 +8,10 @@ virtual CPU devices, the global mesh spans all 8 across both processes,
 and the collectives run over the distributed runtime exactly as they
 would over DCN.
 
-Usage:  python tools/multiproc_run.py            # launcher, spawns 2 ranks
-        python tools/multiproc_run.py --rank N   # worker (internal)
+Usage:  python tools/multiproc_run.py [--nprocs N]   # launcher (default 2)
+        python tools/multiproc_run.py --rank N       # worker (internal)
 
-Writes results/multiproc_2proc.json on success.
+Writes results/multiproc_<N>proc.json on success.
 """
 
 import argparse
@@ -31,7 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def worker(rank: int, port: int) -> None:
+def worker(rank: int, port: int, nprocs: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
@@ -40,10 +40,10 @@ def worker(rank: int, port: int) -> None:
     jax.config.update("jax_platforms", "cpu")
 
     from tpu_snappy.parallel import multihost
-    multihost.init_distributed(f"localhost:{port}", num_processes=2,
+    multihost.init_distributed(f"localhost:{port}", num_processes=nprocs,
                                process_id=rank)
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
 
     import io
 
@@ -63,9 +63,9 @@ def worker(rank: int, port: int) -> None:
         assert reference_codec.decompress(comp) == data
         assert reference_codec.decompress(dst.getvalue()) == data
         out = {
-            "processes": 2,
+            "processes": nprocs,
             "devices_per_process": 4,
-            "global_devices": 8,
+            "global_devices": 4 * nprocs,
             "platform": "cpu (jax.distributed validation of the multihost "
                         "layer; see results/scaling_tpu.json for the "
                         "real-chip row)",
@@ -74,7 +74,7 @@ def worker(rank: int, port: int) -> None:
             "stream_bytes": stats.out_bytes,
             "roundtrip_ok": True,
         }
-        (ROOT / "results" / "multiproc_2proc.json").write_text(
+        (ROOT / "results" / f"multiproc_{nprocs}proc.json").write_text(
             json.dumps(out, indent=1))
         print(json.dumps(out), flush=True)
 
@@ -83,15 +83,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rank", type=int, default=None)
     ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--nprocs", type=int, default=2)
     args = ap.parse_args()
     if args.rank is not None:
-        worker(args.rank, args.port)
+        worker(args.rank, args.port, args.nprocs)
         return 0
     port = _free_port()
     procs = [
         subprocess.Popen([sys.executable, __file__, "--rank", str(r),
-                          "--port", str(port)], cwd=ROOT)
-        for r in range(2)
+                          "--port", str(port), "--nprocs",
+                          str(args.nprocs)], cwd=ROOT)
+        for r in range(args.nprocs)
     ]
     rc = 0
     for p in procs:
