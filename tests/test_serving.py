@@ -142,6 +142,17 @@ def test_request_spanning_multiple_waves():
     assert stats.waves >= 4  # 2 encode + 2 decode dispatches
 
 
+def test_latency_stats_and_backpressure():
+    data = _text(65_536 * 2)
+    with serving.CodecServer(wave=2, max_wait_ms=20, max_pending=4) as srv:
+        futs = [srv.compress(data) for _ in range(3)]  # blocks when full
+        for f in futs:
+            assert golden.uncompress(f.result(timeout=600)) == data
+        pct = srv.stats.latency_percentiles()
+    assert pct["p50"] is not None and pct["p99"] >= pct["p50"] > 0
+    assert len(srv.stats.latencies_s) == 3
+
+
 def test_close_rejects_new_work():
     srv = serving.CodecServer(wave=2, max_wait_ms=10)
     fut = srv.compress(_text(65_536 * 2))

@@ -50,6 +50,7 @@ class ServerStats:
     units: int = 0
     waves: int = 0
     wave_slots: int = 0
+    latencies_s: list = dataclasses.field(default_factory=list)
 
     @property
     def occupancy(self) -> float:
@@ -57,12 +58,23 @@ class ServerStats:
         dispatch was full — the arrival process kept the device fed)."""
         return self.units / self.wave_slots if self.wave_slots else 0.0
 
+    def latency_percentiles(self, qs=(50, 95, 99)) -> dict:
+        """Request latency (submit -> future resolution) percentiles in
+        milliseconds, over device-batched requests (the host fast-path
+        is not tracked; it is µs-scale by construction)."""
+        if not self.latencies_s:
+            return {f"p{q}": None for q in qs}
+        arr = np.asarray(self.latencies_s)
+        return {f"p{q}": round(float(np.percentile(arr, q)) * 1e3, 3)
+                for q in qs}
+
 
 class _Request:
     """One caller request fanned out into `n` work units."""
 
     def __init__(self, kind: str, n: int, total: int):
         self.kind = kind
+        self.t0 = time.monotonic()
         self.future: Future = Future()
         self.parts: list[bytes | None] = [None] * n
         self.missing = n
@@ -88,14 +100,18 @@ class CodecServer:
     mesh: a jax.sharding.Mesh to serve over every chip at once — the
     batcher is unchanged, each dispatch just spans the mesh (block DP,
     the same shardings as parallel/shard.py).
+    max_pending: backpressure bound — submit calls block while this many
+    work units are already queued (None = unbounded).
     Use as a context manager, or call close()."""
 
     def __init__(self, cfg: CodecConfig = DEFAULT_CONFIG, wave: int = 8,
-                 max_wait_ms: float = 2.0, mesh=None):
+                 max_wait_ms: float = 2.0, mesh=None,
+                 max_pending: int | None = None):
         self._cfg = cfg
         self._mesh = mesh
         self._wave = wave * (mesh.devices.size if mesh is not None else 1)
         self._max_wait = max_wait_ms / 1e3
+        self._max_pending = max_pending
         self._lock = threading.Condition()
         # Separate queues per kind: encode and decode graphs differ, so a
         # wave is single-kind. Entries: (request, unit_idx, *unit data).
@@ -145,6 +161,7 @@ class CodecServer:
         req = _Request("enc", len(lengths), len(data))
         with self._lock:
             self._ensure_open()
+            self._wait_capacity()
             for i in range(len(lengths)):
                 self._q["enc"].append((req, i, blocks[i], int(lengths[i])))
             self._lock.notify_all()
@@ -172,6 +189,7 @@ class CodecServer:
         req.frags, req.clens = frags, np.asarray(clens)
         with self._lock:
             self._ensure_open()
+            self._wait_capacity()
             for i in range(len(ulens)):
                 self._q["dec"].append(
                     (req, i, frags[i], int(clens[i]), int(ulens[i])))
@@ -200,6 +218,25 @@ class CodecServer:
     def _ensure_open(self):
         if self._closing:
             raise RuntimeError("CodecServer is closed")
+
+    def _wait_capacity(self):
+        """Backpressure: block the submitter while the unit queue is at
+        max_pending (called under self._lock)."""
+        if self._max_pending is None:
+            return
+        while (len(self._q["enc"]) + len(self._q["dec"])
+               >= self._max_pending):
+            if self._closing:
+                raise RuntimeError("CodecServer is closed")
+            self._lock.wait(0.05)
+
+    def _resolve(self, req: _Request, result=None, exc=None):
+        with self._lock:
+            self.stats.latencies_s.append(time.monotonic() - req.t0)
+        if exc is not None:
+            req.future.set_exception(exc)
+        else:
+            req.future.set_result(result)
 
     def _host(self, fn, data) -> Future:
         fut: Future = Future()
@@ -240,6 +277,7 @@ class CodecServer:
             self.stats.waves += 1
             self.stats.wave_slots += self._wave
             self.stats.units += len(units)
+            self._lock.notify_all()  # wake backpressured submitters
             return kind, units
 
     def _run(self):
@@ -258,7 +296,7 @@ class CodecServer:
             except Exception as e:  # device-level failure: fail the wave
                 for req, *_ in units:
                     if not req.future.done():
-                        req.future.set_exception(e)
+                        self._resolve(req, exc=e)
 
     def _dispatch_encode(self, units):
         W = self._wave
@@ -273,7 +311,7 @@ class CodecServer:
         for j, (req, i, _row, _ln) in enumerate(units):
             if req.deliver(i, out[j, : out_lens[j]].tobytes()):
                 body = b"".join(req.parts)
-                req.future.set_result(fmt.varint_encode(req.total) + body)
+                self._resolve(req, fmt.varint_encode(req.total) + body)
 
     def _dispatch_decode(self, units):
         W = self._wave
@@ -300,7 +338,7 @@ class CodecServer:
                 if req.failed:
                     self._settle_on_host(req)
                 else:
-                    req.future.set_result(b"".join(req.parts))
+                    self._resolve(req, b"".join(req.parts))
 
     def _settle_on_host(self, req: _Request):
         """Sequential host decode of a whole request whose device pass
@@ -315,7 +353,6 @@ class CodecServer:
             if len(ctx) != req.total:
                 raise ValueError(
                     f"decoded {len(ctx)} bytes, preamble said {req.total}")
-            req.future.set_result(bytes(ctx))
+            self._resolve(req, bytes(ctx))
         except (ValueError, IndexError) as e:
-            req.future.set_exception(
-                ValueError(f"invalid Snappy stream: {e}"))
+            self._resolve(req, exc=ValueError(f"invalid Snappy stream: {e}"))
