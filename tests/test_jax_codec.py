@@ -45,6 +45,19 @@ def test_block_boundary_sizes():
         certify(data)
 
 
+def test_wave_override_identical_streams():
+    # The api `wave` knob (throughput/compile trade, docs/API.md) must not
+    # change a single output byte, and decode must accept any wave too.
+    rng = np.random.default_rng(11)
+    base = rng.integers(65, 91, 3000, dtype=np.uint8).tobytes()
+    data = (base * 80)[: 3 * fmt.BLOCK_SIZE + 777]
+    ref = api.compress(data)
+    c1 = api.compress(data, wave=1)
+    assert c1 == ref
+    assert api.decompress(ref, wave=1) == data
+    assert api.decompress(ref) == data
+
+
 @pytest.mark.skipif(not corpus.has_reference_corpus(), reason="no corpus")
 @pytest.mark.parametrize("name", [
     "fox-in-socks.txt", "alignerTestData.txt",

@@ -14,7 +14,13 @@ import pytest
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
+@pytest.mark.nightly
 def test_two_process_distributed_encode():
+    """Marked nightly: a 2-process jax.distributed bootstrap + two full
+    pipeline compiles per process is minutes-scale on a loaded machine
+    (the default suite's budget is ~10 min total). Run explicitly via
+    `pytest -m nightly tests/test_multiprocess.py`. The launcher reaps
+    its worker processes on failure/timeout (multiproc_run.main)."""
     r = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "multiproc_run.py")],
         cwd=ROOT, capture_output=True, text=True, timeout=1200,

@@ -10,7 +10,7 @@ import threading
 import numpy as np
 import pytest
 
-from tpu_snappy import serving
+from tpu_snappy import format as fmt, serving
 from tpu_snappy.native import golden
 from tpu_snappy.utils import corpus
 
@@ -90,7 +90,43 @@ def test_exotic_stream_settles_on_host():
               + b"\x0e\x10\x00")                  # frag2: copy2 len4 off16
     with serving.CodecServer(wave=4, max_wait_ms=100) as srv:
         out = srv.decompress(stream).result(timeout=600)
+        stats = srv.stats
     assert out == b"x" * 65540
+    # Fragment-granular settlement: only the flagged fragment re-decoded.
+    assert stats.spliced_fragments == 1
+
+
+def test_one_bad_fragment_splices_only_itself(monkeypatch):
+    # Multi-wave request (3 fragments at wave=2) with exactly ONE exotic
+    # fragment in the middle: the cross-fragment copy at fragment 1's
+    # start fails the device's off<=opos check, fragments 0 and 2 pass.
+    # Settlement must re-decode ONLY fragment 1 on the host (with the
+    # spliced prefix as context), not the whole request.
+    xblock = (b"\x3c" + b"x" * 16                 # literal 16
+              + (b"\xfe\x10\x00" * 1023)          # 1023 x copy2 len64 off16
+              + b"\xbe\x10\x00")                  # copy2 len48 off16
+    frag1 = (b"\x0e\x10\x00"                      # copy2 len4 off16 (cross!)
+             + fmt.literal_header(65532) + b"y" * 65532)
+    total = 65536 + 65536 + 100
+    stream = (fmt.varint_encode(total) + xblock + frag1
+              + fmt.literal_header(100) + b"z" * 100)
+
+    from tpu_snappy import reference_codec
+    calls = []
+    orig = reference_codec.decompress_elements
+
+    def counting(buf, start, end, ctx):
+        calls.append(end - start)
+        return orig(buf, start, end, ctx)
+
+    monkeypatch.setattr(reference_codec, "decompress_elements", counting)
+    with serving.CodecServer(wave=2, max_wait_ms=100) as srv:
+        out = srv.decompress(stream).result(timeout=600)
+        stats = srv.stats
+    assert out == b"x" * 65536 + b"x" * 4 + b"y" * 65532 + b"z" * 100
+    assert stats.spliced_fragments == 1
+    assert len(calls) == 1  # host element-decode ran for ONE fragment
+    assert stats.waves >= 2  # the request genuinely spanned waves
 
 
 def test_many_threads_submit():

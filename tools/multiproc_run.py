@@ -48,7 +48,15 @@ def worker(rank: int, port: int, nprocs: int) -> None:
     import io
 
     from tpu_snappy.utils import corpus
-    data = corpus.load("all-mtg-cards.txt")[: 16 * 65536 + 12345]
+    # 9 blocks, and a streaming wave sized so both entry points resolve to
+    # the SAME cached _encode_fn(mesh, cfg, wave) program — each process
+    # compiles the pipeline ONCE. This is a collective-path validation,
+    # not a throughput run, and XLA:CPU compile dominated the old
+    # 17-block two-graph form.
+    data = corpus.load("all-mtg-cards.txt")[: 8 * 65536 + 12345]
+    ndev = 4 * nprocs
+    nblocks = -(-len(data) // 65536)
+    per_dev = -(-nblocks // ndev)
 
     # One-shot global-mesh compress (collective).
     comp = multihost.compress_dp_global(data)
@@ -56,7 +64,7 @@ def worker(rank: int, port: int, nprocs: int) -> None:
     # Streaming multihost encode (collective; only rank 0 keeps output).
     dst = io.BytesIO()
     stats = multihost.compress_multihost(io.BytesIO(data), dst, len(data),
-                                         blocks_per_wave=8)
+                                         blocks_per_wave=per_dev * ndev)
 
     if rank == 0:
         from tpu_snappy import reference_codec
@@ -96,8 +104,19 @@ def main() -> int:
         for r in range(args.nprocs)
     ]
     rc = 0
-    for p in procs:
-        rc |= p.wait(timeout=1200)
+    try:
+        for p in procs:
+            rc |= p.wait(timeout=1200)
+    finally:
+        # Reap stragglers: if any worker failed or the launcher is being
+        # torn down (e.g. a pytest timeout killed us mid-wait), no orphan
+        # may outlive this process.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            if p.poll() is None:
+                p.wait(timeout=30)
     print("multiproc run:", "OK" if rc == 0 else f"FAIL rc={rc}")
     return rc
 

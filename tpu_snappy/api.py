@@ -72,23 +72,30 @@ def _host_decompress(comp: bytes) -> bytes:
 
 
 def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
-             small_fastpath: bool = True) -> bytes:
+             small_fastpath: bool = True, wave: int | None = None) -> bytes:
     """Compress to a standard Snappy stream (varint preamble + elements).
 
     small_fastpath=False forces the device pipeline even below the
-    threshold (tests certify the device codec on small inputs that way)."""
+    threshold (tests certify the device codec on small inputs that way).
+    wave: blocks per vmapped device wave (default API_WAVE=8). The
+    measured v5e sweet spot is 24 — ~8-14% faster per block than 8 — but
+    each distinct wave width compiles its own graph (minutes cold on a
+    remote backend), so the default trades that margin for one bounded
+    compile; throughput-critical long-running callers should pass
+    wave=24 (what bench.py measures). See docs/API.md."""
     if (small_fastpath and len(data) < SMALL_INPUT_BYTES
             and cfg == DEFAULT_CONFIG):
         return _host_compress(data)
+    w = wave or API_WAVE
     blocks, lengths = _to_blocks(data, cfg.block_size)
     nb = len(lengths)
-    if nb > API_WAVE:
-        pad = -nb % API_WAVE
+    if nb > w:
+        pad = -nb % w
         if pad:
             blocks = np.pad(blocks, ((0, pad), (0, 0)))
             lengths = np.pad(lengths, (0, pad))
         out, out_lens = ops_encode.encode_corpus(blocks, lengths, cfg,
-                                                 wave=API_WAVE)
+                                                 wave=w)
     else:
         out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
     out = np.asarray(out)
@@ -100,12 +107,15 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
 
 
 def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
-               small_fastpath: bool = True) -> bytes:
+               small_fastpath: bool = True, wave: int | None = None) -> bytes:
     """Decompress a standard Snappy stream (ours or any other encoder's).
 
     Fragment-parallel on device; valid-but-exotic streams that defeat
     fragment-local decoding fall back to the sequential host decoder.
-    small_fastpath=False forces the device pipeline below the threshold."""
+    small_fastpath=False forces the device pipeline below the threshold.
+    wave: fragments per device wave — same compile-cost/throughput trade
+    as api.compress (24 is the measured sweet spot, 8 the bounded-compile
+    default)."""
     total, start = fmt.varint_decode(comp)
     if total == 0:
         if len(comp) != start:
@@ -120,14 +130,15 @@ def decompress(comp: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
         from . import reference_codec
         return reference_codec.decompress(comp)
     nf = len(fulens)
-    if nf > API_WAVE:
+    wv = wave or API_WAVE
+    if nf > wv:
         # Bounded-compile wave batching (see compress/API_WAVE).
         w = ops_decode.frag_width(np.asarray(fstarts))
-        pad = -nf % API_WAVE
+        pad = -nf % wv
         fr = np.pad(np.asarray(frags)[:, :w], ((0, pad), (0, 0)))
         cl = np.pad(np.asarray(fstarts, np.int32), (0, pad))
         ul = np.pad(np.asarray(fulens, np.int32), (0, pad))
-        out, ok = ops_decode.decode_corpus(fr, cl, ul, wave=API_WAVE)
+        out, ok = ops_decode.decode_corpus(fr, cl, ul, wave=wv)
         out, ok = out[:nf], ok[:nf]
     else:
         out, ok = ops_decode.decode_fragments(frags, fstarts, fulens, cfg)
@@ -152,11 +163,24 @@ def _splice_failed_fragments(frags, clens, ulens, out: np.ndarray,
     already-decoded prefix as copy context — instead of the whole stream;
     ok fragments' device bytes are exact regardless of their neighbors
     (fragments decode independently). Corrupt fragments raise with ids."""
+    parts = [out[i, : ulens[i]].tobytes() if ok[i] else None
+             for i in range(len(ulens))]
+    return _splice_parts(frags, clens, ulens, parts, ok)
+
+
+def _splice_parts(frags, clens, ulens, parts, ok) -> bytes:
+    """Core of the fragment splice, over per-fragment device bytes.
+
+    parts[i] is fragment i's device-decoded output (consulted only when
+    ok[i]); failed fragments re-decode sequentially with the spliced
+    prefix as copy context. Shared by api.decompress and the serving
+    batcher (serving._settle_spliced) so both paths pay O(failed), not
+    O(request), host work."""
     from . import reference_codec
     ctx = bytearray()
     for i in range(len(ulens)):
         if ok[i]:
-            ctx += out[i, : ulens[i]].tobytes()
+            ctx += parts[i]
             continue
         before = len(ctx)
         try:

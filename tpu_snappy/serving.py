@@ -50,6 +50,9 @@ class ServerStats:
     units: int = 0
     waves: int = 0
     wave_slots: int = 0
+    #: Fragments re-decoded on the host because their device pass flagged
+    #: them (fragment-granular fallback — NOT whole requests).
+    spliced_fragments: int = 0
     latencies_s: list = dataclasses.field(default_factory=list)
 
     @property
@@ -82,6 +85,8 @@ class _Request:
         self.failed = False  # decode: some fragment failed device checks
         self.frags = None    # decode: (F, cap) uint8 for the host fallback
         self.clens = None
+        self.ulens = None
+        self.oks = [True] * n  # decode: per-fragment device validation
 
     def deliver(self, idx: int, part: bytes) -> bool:
         self.parts[idx] = part
@@ -187,6 +192,7 @@ class CodecServer:
             return fut
         req = _Request("dec", len(ulens), total)
         req.frags, req.clens = frags, np.asarray(clens)
+        req.ulens = np.asarray(ulens)
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
@@ -330,29 +336,32 @@ class CodecServer:
         for j, (req, i, _frag, _cl, ul) in enumerate(units):
             if not ok[j]:
                 # Exotic-but-valid (e.g. a cross-fragment copy) or corrupt.
-                # Mark and keep counting units; the request settles on the
-                # host once all its waves are in (request-granular
-                # fallback — neighbors in this wave are unaffected).
+                # Mark and keep counting units; the failed fragments (and
+                # ONLY those) re-decode on the host once all the request's
+                # waves are in — neighbors in this wave are unaffected.
                 req.failed = True
+                req.oks[i] = False
             if req.deliver(i, out[j, :ul].tobytes()):
                 if req.failed:
-                    self._settle_on_host(req)
+                    self._settle_spliced(req)
                 else:
                     self._resolve(req, b"".join(req.parts))
 
-    def _settle_on_host(self, req: _Request):
-        """Sequential host decode of a whole request whose device pass
-        flagged a fragment — decodes valid-but-exotic streams (with full
-        cross-fragment context), raises precisely for corrupt ones."""
-        from . import reference_codec
+    def _settle_spliced(self, req: _Request):
+        """Fragment-granular host fallback: splice the ok fragments'
+        device bytes and re-decode only the flagged ones sequentially,
+        with the spliced prefix as copy context (api._splice_parts —
+        the same mechanism api.decompress uses). Decodes valid-but-exotic
+        streams; raises precisely for corrupt ones."""
         try:
-            ctx = bytearray()
-            for i in range(len(req.clens)):
-                reference_codec.decompress_elements(
-                    req.frags[i].tobytes(), 0, int(req.clens[i]), ctx)
-            if len(ctx) != req.total:
+            result = api._splice_parts(req.frags, req.clens, req.ulens,
+                                       req.parts, req.oks)
+            if len(result) != req.total:
                 raise ValueError(
-                    f"decoded {len(ctx)} bytes, preamble said {req.total}")
-            self._resolve(req, bytes(ctx))
+                    f"invalid Snappy stream: decoded {len(result)} bytes, "
+                    f"preamble said {req.total}")
+            with self._lock:
+                self.stats.spliced_fragments += req.oks.count(False)
+            self._resolve(req, result)
         except (ValueError, IndexError) as e:
-            self._resolve(req, exc=ValueError(f"invalid Snappy stream: {e}"))
+            self._resolve(req, exc=ValueError(str(e)))
