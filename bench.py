@@ -248,6 +248,89 @@ def main():
     dec_sus_gbps = n * 4 * R / (time.time() - t0) / 1e9
     log(f"decode sustained (in-graph x{R}): {dec_sus_gbps:.3f} GB/s/chip")
 
+    # Foreign-stream decode: the BASELINE interop bar is google-stream
+    # correctness, so the perf story quotes its device throughput too.
+    foreign_gbps = None
+    try:
+        gcomp = golden.compress(data)
+        gtotal, gstart = fmt.varint_decode(gcomp)
+        gfrags, gclens, gulens = ops_decode.fragment_table(gcomp, gstart,
+                                                           gtotal)
+        gw = ops_decode.frag_width(gclens)
+        gnf = len(gclens)
+        gpad = -gnf % DEC_WAVE
+        gfd = jax.device_put(np.pad(np.asarray(gfrags)[:, :gw],
+                                    ((0, gpad), (0, 0))))
+        gcd = jax.device_put(np.pad(np.asarray(gclens, np.int32), (0, gpad)))
+        gud = jax.device_put(np.pad(np.asarray(gulens, np.int32), (0, gpad)))
+        gok = bool(np.asarray(dec(gfd, gcd, gud)[1])[:gnf].all())
+        for _ in range(2):
+            last = dec(gfd, gcd, gud)[1]
+        np.asarray(jnp.ravel(last)[0])
+        t0 = time.time()
+        for _ in range(ITERS):
+            last = dec(gfd, gcd, gud)[1]
+        np.asarray(jnp.ravel(last)[0])
+        foreign_gbps = n * ITERS / (time.time() - t0) / 1e9
+        log(f"decode (google-encoded stream): {foreign_gbps:.3f} GB/s/chip "
+            f"ok={gok}")
+    except Exception as e:
+        log(f"foreign decode bench unavailable: {e}")
+
+    # Sidecar fast-decode (framed co-design, sidecar.py): the skippable
+    # 0x80 chunk carries the resolved root map, so the device skips parse,
+    # transport AND resolve — one windowed scatter + ffill + byte gather.
+    # Size overhead is measured and reported (it is the knob's cost).
+    sidecar_gbps = sidecar_frac = None
+    try:
+        from tpu_snappy import sidecar as sc
+        jobs = []
+        side_bytes = 0
+        for i in range(nf):
+            elems = frags[i, : clens[i]].tobytes()
+            payload = sc.build(elems, int(ulens[i]))
+            assert payload is not None
+            side_bytes += len(payload) + 4
+            s2, vals = sc.split_for_device(*sc.parse(payload), int(ulens[i]))
+            jobs.append((elems, int(ulens[i]), s2, vals))
+        pw = max(sc.pieces_width(len(j[2])) for j in jobs)
+        npad = nf + (-nf % DEC_WAVE)
+        E = np.zeros((npad, sc.OUT), np.uint8)
+        S = np.full((npad, pw), sc.OUT, np.int32)
+        V = np.zeros((npad, pw), np.int32)
+        U = np.zeros(npad, np.int32)
+        for j, (elems, ulen_j, s2, vals) in enumerate(jobs):
+            E[j, : len(elems)] = np.frombuffer(elems, np.uint8)
+            S[j, : len(s2)] = s2
+            V[j, : len(vals)] = vals
+            U[j] = ulen_j
+        sfn = jax.jit(lambda e, s, v, u: sc.decode_corpus_sidecar(
+            e, s, v, u, wave=DEC_WAVE))
+        Ed, Sd, Vd, Ud = map(jax.device_put, (E, S, V, U))
+        outs, oks = sfn(Ed, Sd, Vd, Ud)
+        outs_np, oks_np = np.asarray(outs), np.asarray(oks)
+        side_exact = bool(oks_np[:nf].all()) and all(
+            outs_np[j, : U[j]].tobytes()
+            == data[j * fmt.BLOCK_SIZE: j * fmt.BLOCK_SIZE + U[j]]
+            for j in range(nf))
+        for _ in range(2):
+            last = sfn(Ed, Sd, Vd, Ud)[1]
+        np.asarray(jnp.ravel(last)[0])
+        t0 = time.time()
+        for _ in range(ITERS):
+            last = sfn(Ed, Sd, Vd, Ud)[1]
+        np.asarray(jnp.ravel(last)[0])
+        sidecar_gbps = n * ITERS / (time.time() - t0) / 1e9
+        sidecar_frac = side_bytes / csize
+        log(f"decode sidecar path: {sidecar_gbps:.3f} GB/s/chip "
+            f"exact={side_exact}; sidecar bytes {side_bytes} "
+            f"(+{100*sidecar_frac:.0f}% of payload on text — the measured "
+            f"cost of the speed knob; ~0% on RLE/incompressible)")
+        if not side_exact:
+            sidecar_gbps = None
+    except Exception as e:
+        log(f"sidecar bench unavailable: {e}")
+
     value = round(enc_gbps, 4)
     print(json.dumps({
         "metric": "encode_GBps_per_chip_mtg"
@@ -264,6 +347,10 @@ def main():
         "host_assembly_ms": round(t_asm * 1e3, 2),
         "encode_sustained_GBps": round(sus_gbps, 4),
         "decode_sustained_GBps": round(dec_sus_gbps, 4),
+        "decode_foreign_GBps": round(foreign_gbps, 4) if foreign_gbps else None,
+        "decode_sidecar_GBps": round(sidecar_gbps, 4) if sidecar_gbps else None,
+        "sidecar_overhead_vs_payload": round(sidecar_frac, 4)
+        if sidecar_frac is not None else None,
         # Cycle-normalized comparable: the reference RTL reports cycles in
         # simulation only (3.50 cyc/B encode steady state,
         # benchmark/hw_results.csv:25; decode unimplemented). v5e ~940 MHz.

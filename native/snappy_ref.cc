@@ -236,6 +236,101 @@ int sr_uncompress(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap,
   return SR_OK;
 }
 
+int sr_root_map(const uint8_t* elems, size_t n, uint64_t expected_out,
+                uint16_t* piece_start, uint16_t* piece_root,
+                uint8_t* piece_slope, size_t max_pieces,
+                uint32_t* num_pieces) {
+  // Root map of one element stream (<= 64 KB output, NO varint preamble):
+  // for every output byte, the index INTO `elems` of the literal byte that
+  // ultimately supplies it (copies resolved transitively), returned as
+  // maximal affine pieces with slope 0 or 1:
+  //   output[i] == elems[root[p] + slope[p] * (i - start[p])]
+  // for start[p] <= i < start[p+1]. Slope 1 covers literal runs and
+  // non-overlapping copies; slope 0 covers offset-1 RLE runs (constant
+  // root). This is the encoder half of the framed sidecar co-design (the
+  // decode side skips parse+resolve and runs one gather); the reference
+  // co-designed its emission with its datapath the same way
+  // (CompressionAccelerator.scala:230-285).
+  if (expected_out > kBlockSize || n > 0xffff) return SR_ERR_CAPACITY;
+  std::vector<uint32_t> root(static_cast<size_t>(expected_out));
+  size_t ip = 0;
+  size_t op = 0;
+  while (ip < n) {
+    const uint8_t tag = elems[ip];
+    const unsigned kind = tag & 3;
+    if (kind == 0) {  // literal: payload bytes root themselves
+      size_t llen, hdr;
+      if ((tag >> 2) < 60) {
+        llen = (tag >> 2) + 1;
+        hdr = 1;
+      } else {
+        const unsigned extra = (tag >> 2) - 59;
+        if (ip + 1 + extra > n) return SR_ERR_TRUNCATED;
+        uint64_t v = 0;
+        for (unsigned i = 0; i < extra; i++)
+          v |= static_cast<uint64_t>(elems[ip + 1 + i]) << (8 * i);
+        llen = static_cast<size_t>(v) + 1;
+        hdr = 1 + extra;
+      }
+      if (ip + hdr + llen > n) return SR_ERR_TRUNCATED;
+      if (op + llen > expected_out) return SR_ERR_LENGTH_MISMATCH;
+      for (size_t i = 0; i < llen; i++)
+        root[op + i] = static_cast<uint32_t>(ip + hdr + i);
+      ip += hdr + llen;
+      op += llen;
+    } else {
+      size_t clen, offset;
+      if (kind == 1) {
+        if (ip + 2 > n) return SR_ERR_TRUNCATED;
+        clen = ((tag >> 2) & 0x7) + 4;
+        offset = (static_cast<size_t>(tag >> 5) << 8) | elems[ip + 1];
+        ip += 2;
+      } else if (kind == 2) {
+        if (ip + 3 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = elems[ip + 1] | (static_cast<size_t>(elems[ip + 2]) << 8);
+        ip += 3;
+      } else {
+        if (ip + 5 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = elems[ip + 1] | (static_cast<size_t>(elems[ip + 2]) << 8) |
+                 (static_cast<size_t>(elems[ip + 3]) << 16) |
+                 (static_cast<size_t>(elems[ip + 4]) << 24);
+        ip += 5;
+      }
+      if (offset == 0 || offset > op) return SR_ERR_BAD_OFFSET;
+      if (op + clen > expected_out) return SR_ERR_LENGTH_MISMATCH;
+      for (size_t i = 0; i < clen; i++)  // byte loop: RLE semantics
+        root[op + i] = root[op - offset + i];
+      op += clen;
+    }
+  }
+  if (op != expected_out) return SR_ERR_LENGTH_MISMATCH;
+  // Greedy maximal pieces: a piece's slope is fixed by its second byte
+  // (first delta in {0, 1}); any other delta starts a new piece.
+  size_t np_ = 0;
+  size_t i = 0;
+  while (i < op) {
+    if (np_ >= max_pieces) return SR_ERR_CAPACITY;
+    piece_start[np_] = static_cast<uint16_t>(i);
+    piece_root[np_] = static_cast<uint16_t>(root[i]);
+    uint8_t slope = 1;
+    size_t j = i + 1;
+    if (j < op) {
+      const uint32_t d = root[j] - root[i];  // wraps if negative: != 0/1
+      if (d <= 1) {
+        slope = static_cast<uint8_t>(d);
+        while (j < op && root[j] == root[j - 1] + slope) j++;
+      }
+    }
+    piece_slope[np_] = slope;
+    np_++;
+    i = j;
+  }
+  *num_pieces = static_cast<uint32_t>(np_);
+  return SR_OK;
+}
+
 int sr_scan_index(const uint8_t* in, size_t n, size_t start,
                   uint64_t expected_out, uint32_t* comp_off,
                   uint32_t* out_len, size_t max_frags, uint32_t* num_frags) {

@@ -67,6 +67,19 @@ int sr_scan_index(const uint8_t* in, size_t n, size_t start,
                   uint64_t expected_out, uint32_t* comp_off,
                   uint32_t* out_len, size_t max_frags, uint32_t* num_frags);
 
+// Root map of one element stream (no preamble, <= 64 KB output): for every
+// output byte, the index into `elems` of the literal byte that ultimately
+// supplies it, as maximal affine pieces (start, root, slope in {0, 1};
+// slope 0 = offset-1 RLE). All three arrays must hold max_pieces entries;
+// writes the piece count to *num_pieces. Used by the framed sidecar
+// encoder (framing.py) — the decode side then skips parse+resolve and
+// runs one gather. Returns SR_OK or an error (capacity when elems exceeds
+// 64 KB - 1 or the piece arrays are too small).
+int sr_root_map(const uint8_t* elems, size_t n, uint64_t expected_out,
+                uint16_t* piece_start, uint16_t* piece_root,
+                uint8_t* piece_slope, size_t max_pieces,
+                uint32_t* num_pieces);
+
 // ---- Framing format (the official Snappy streaming container) ----
 // Spec: google/snappy framing_format.txt — chunked stream with per-chunk
 // CRC-32C (Castagnoli) checksums, masked as ((crc>>15)|(crc<<17))+0xa282ead8.

@@ -1,0 +1,223 @@
+"""Framed fast-decode sidecar (tpu_snappy/sidecar.py + framing 0x80 chunks).
+
+Covers: root-map piece extraction (native vs pure-python, gather-expansion
+exactness per corpus class), the device decode path (scatter+ffill+gather,
+interpret mode on CPU), framed round-trips under every emission policy,
+foreign-decoder interop (the independent C++ golden skips the chunk by
+spec; the REAL google/snappy decodes each chunk payload), corruption
+semantics (wrong sidecar falls back silently — it is a hint; wrong data
+still raises), and the auto-policy size gate.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from tpu_snappy import api, format as fmt, framing, reference_codec as ref
+from tpu_snappy import sidecar
+from tpu_snappy.native import golden
+from tpu_snappy.utils import corpus
+
+
+def _classes():
+    rng = np.random.default_rng(7)
+    cases = [
+        ("tinytext", b"The quick brown fox jumps over the lazy dog. " * 100),
+        ("xrle", b"x" * 50000),
+        ("abrle", b"ab" * 20000),
+        ("random", rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()),
+    ]
+    if corpus.has_reference_corpus():
+        cases += [
+            ("mtg", corpus.load("all-mtg-cards.txt")[:65536]),
+            ("repeating", corpus.load("repeating-50000.txt")),
+            ("real", corpus.load("real-50000.txt")),
+        ]
+    return cases
+
+
+def _expand(starts, roots, slopes, ulen):
+    plens = np.diff(np.concatenate([starts.astype(np.int64), [ulen]]))
+    s, r, sl = (starts.astype(np.int64), roots.astype(np.int64),
+                slopes.astype(np.int64))
+    return (np.repeat(r - sl * s, plens)
+            + np.repeat(sl, plens) * np.arange(ulen))
+
+
+@pytest.mark.parametrize("name,data", _classes())
+def test_root_pieces_expand_exactly(name, data):
+    comp = ref.compress(data)
+    total, start = fmt.varint_decode(comp)
+    elems = comp[start:]
+    starts, roots, slopes = golden.root_map(elems, total)
+    g = _expand(starts, roots, slopes, total)
+    got = np.frombuffer(elems, np.uint8)[g].tobytes()
+    assert got == data
+    assert starts[0] == 0 and (np.diff(starts) > 0).all()
+    assert set(np.unique(slopes)) <= {0, 1}
+
+
+def test_python_fallback_matches_native():
+    for name, data in _classes()[:4]:
+        comp = ref.compress(data)
+        total, start = fmt.varint_decode(comp)
+        a = sidecar._root_pieces_py(comp[start:], total)
+        b = golden.root_map(comp[start:], total)
+        for x, y in zip(a, b):
+            assert (np.asarray(x) == np.asarray(y)).all(), name
+
+
+@pytest.mark.parametrize("name,data", _classes())
+def test_device_sidecar_decode(name, data):
+    # Own-encoder stream through the full device path (interpret on CPU).
+    comp = api.compress(data, small_fastpath=False)
+    total, start = fmt.varint_decode(comp)
+    elems = comp[start:]
+    if len(elems) >= sidecar.OUT:
+        pytest.skip("multi-fragment stream; framed tests cover chunking")
+    payload = sidecar.build(elems, total)
+    assert payload is not None
+    parsed = sidecar.parse(payload)
+    assert parsed is not None
+    s2, vals = sidecar.split_for_device(*parsed, total)
+    pw = sidecar.pieces_width(len(s2))
+    S = np.full((1, pw), sidecar.OUT, np.int32)
+    V = np.zeros((1, pw), np.int32)
+    S[0, : len(s2)] = s2
+    V[0, : len(vals)] = vals
+    E = np.zeros((1, sidecar.OUT), np.uint8)
+    E[0, : len(elems)] = np.frombuffer(elems, np.uint8)
+    out, ok = sidecar.decode_chunks_jit(E, S, V,
+                                        np.asarray([total], np.int32))
+    assert bool(np.asarray(ok)[0])
+    assert np.asarray(out)[0, :total].tobytes() == data
+
+
+def _mix():
+    rng = np.random.default_rng(3)
+    mix = (b"the cat sat on the mat and the dog sat on the log " * 2000
+           + b"z" * 70000
+           + rng.integers(0, 256, 70000, dtype=np.uint8).tobytes())
+    if corpus.has_reference_corpus():
+        mix += corpus.load("all-mtg-cards.txt")[:70000]
+    return mix
+
+
+@pytest.mark.parametrize("policy", ["off", "auto", "always"])
+def test_framed_roundtrip_policies(policy):
+    mix = _mix()
+    fr = framing.compress(mix, sidecar=policy)
+    assert framing.decompress(fr) == mix
+    assert framing.decompress(fr, use_sidecar=False) == mix
+    # The independent C++ framed decoder ignores the chunk per spec.
+    assert golden.uncompress_framed(fr, max_out=len(mix) + 10) == mix
+
+
+def test_sidecar_chunk_type_is_spec_skippable():
+    assert 0x80 <= framing.CHUNK_SIDECAR <= 0xFD
+    assert framing.CHUNK_SIDECAR == sidecar.CHUNK_TYPE
+
+
+def test_real_snappy_decodes_chunk_payloads():
+    # The REAL google/snappy raw decoder must accept every compressed data
+    # chunk payload of a sidecar-bearing framed stream untouched.
+    from tpu_snappy.native import realsnappy
+    if not realsnappy.available():
+        pytest.skip("system libsnappy not present")
+    mix = _mix()
+    fr = framing.compress(mix, sidecar="always")
+    ip = len(framing.STREAM_ID)
+    pieces = []
+    while ip < len(fr):
+        typ = fr[ip]
+        ln = int.from_bytes(fr[ip + 1: ip + 4], "little")
+        body = fr[ip + 4: ip + 4 + ln]
+        if typ == framing.CHUNK_COMPRESSED:
+            pieces.append(realsnappy.uncompress(body[4:]))
+        elif typ == framing.CHUNK_UNCOMPRESSED:
+            pieces.append(body[4:])
+        ip += 4 + ln
+    assert b"".join(pieces) == mix
+
+
+def test_auto_policy_gates_on_size():
+    mix = _mix()
+    fr_off = framing.compress(mix, sidecar="off")
+    fr_auto = framing.compress(mix, sidecar="auto")
+    fr_always = framing.compress(mix, sidecar="always")
+    # auto pays at most SIDECAR_AUTO_FRAC per chunk; text chunks get none.
+    assert len(fr_auto) - len(fr_off) <= int(
+        framing.SIDECAR_AUTO_FRAC * len(mix)) + 8 * (len(mix) // 65536 + 1)
+    assert len(fr_always) > len(fr_auto)
+    # auto emitted at least the RLE chunk's sidecar
+    assert len(fr_auto) > len(fr_off)
+
+
+def test_corrupt_sidecar_is_only_a_hint():
+    mix = _mix()
+    fr = bytearray(framing.compress(mix, sidecar="always"))
+    ip = len(framing.STREAM_ID)
+    flipped = 0
+    while ip < len(fr):
+        typ = fr[ip]
+        ln = int.from_bytes(fr[ip + 1: ip + 4], "little")
+        if typ == framing.CHUNK_SIDECAR and flipped < 2:
+            fr[ip + 4 + 10] ^= 0xFF  # corrupt a piece entry
+            flipped += 1
+        ip += 4 + ln
+    assert flipped
+    assert framing.decompress(bytes(fr)) == mix  # falls back, still exact
+
+
+def test_truncated_sidecar_is_ignored():
+    mix = _mix()
+    fr = framing.compress(mix, sidecar="always")
+    # Rewrite every sidecar to garbage of the same length: parse() must
+    # reject them and the stream must still decode on the normal path.
+    out = bytearray()
+    out += framing.STREAM_ID
+    ip = len(framing.STREAM_ID)
+    while ip < len(fr):
+        typ = fr[ip]
+        ln = int.from_bytes(fr[ip + 1: ip + 4], "little")
+        chunk = bytearray(fr[ip: ip + 4 + ln])
+        if typ == framing.CHUNK_SIDECAR:
+            chunk[4:] = b"\xaa" * ln
+        out += chunk
+        ip += 4 + ln
+    assert framing.decompress(bytes(out)) == mix
+
+
+def test_corrupt_data_chunk_still_raises():
+    mix = _mix()
+    fr = bytearray(framing.compress(mix, sidecar="always"))
+    ip = len(framing.STREAM_ID)
+    while ip < len(fr):
+        typ = fr[ip]
+        ln = int.from_bytes(fr[ip + 1: ip + 4], "little")
+        if typ == framing.CHUNK_COMPRESSED:
+            fr[ip + 4 + 9] ^= 0xFF
+            break
+        ip += 4 + ln
+    with pytest.raises(ValueError, match="CRC"):
+        framing.decompress(bytes(fr))
+
+
+def test_streaming_decode_with_sidecars():
+    mix = _mix()
+    fr = framing.compress(mix, sidecar="always")
+    for wave in (1, 2):
+        dst = io.BytesIO()
+        n = framing.decompress_stream(io.BytesIO(fr), dst,
+                                      chunks_per_wave=wave)
+        assert dst.getvalue() == mix and n == len(mix)
+
+
+def test_streaming_encode_emits_sidecars():
+    mix = _mix()
+    dst = io.BytesIO()
+    framing.compress_stream(io.BytesIO(mix), dst, len(mix), sidecar="always",
+                            blocks_per_wave=2)
+    assert dst.getvalue() == framing.compress(mix, sidecar="always")
+    assert framing.decompress(dst.getvalue()) == mix

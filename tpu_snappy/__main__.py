@@ -35,6 +35,12 @@ def main(argv=None):
         p.add_argument("--hadoop", action="store_true",
                        help="Hadoop SnappyCodec container (Spark/HDFS "
                             ".snappy block framing)")
+        p.add_argument("--sidecar", choices=("off", "auto", "always"),
+                       default="off",
+                       help="framed fast-decode sidecar chunks (requires "
+                            "--framed): 'auto' emits where the size cost "
+                            "is small, 'always' trades stream size for "
+                            "decode speed; foreign decoders skip them")
         if name == "compress":
             p.add_argument("--stream", action="store_true",
                            help="wave-streamed encode (for huge inputs)")
@@ -59,6 +65,9 @@ def main(argv=None):
     mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
     if args.framed and args.hadoop:
         ap.error("--framed and --hadoop are mutually exclusive containers")
+    if args.sidecar != "off" and not args.framed:
+        ap.error("--sidecar requires --framed (it rides skippable "
+                 "framing chunks)")
     if args.hadoop:
         if args.mesh or getattr(args, "stream", False):
             ap.error("--hadoop composes with neither --mesh nor --stream "
@@ -71,7 +80,7 @@ def main(argv=None):
         # Framed chunks are independent, so the container composes with
         # mesh sharding and streaming directly.
         def compress_fn(d):
-            return framing.compress(d, mesh=mesh)
+            return framing.compress(d, mesh=mesh, sidecar=args.sidecar)
 
         def decompress_fn(c):
             return framing.decompress(c, mesh=mesh)
@@ -90,7 +99,8 @@ def main(argv=None):
                 if args.framed:
                     out_n = framing.compress_stream(
                         src, dst, n, mesh,
-                        blocks_per_wave=args.blocks_per_wave)
+                        blocks_per_wave=args.blocks_per_wave,
+                        sidecar=args.sidecar)
                 else:
                     stats = streaming.compress_stream(
                         src, dst, n, mesh,

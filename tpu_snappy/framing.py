@@ -27,8 +27,19 @@ CHUNK_STREAM_ID = 0xFF
 CHUNK_COMPRESSED = 0x00
 CHUNK_UNCOMPRESSED = 0x01
 CHUNK_PADDING = 0xFE
+#: Skippable (0x80-0xfd) chunk carrying our decode sidecar (sidecar.py);
+#: foreign decoders MUST ignore it per spec §4.4.
+CHUNK_SIDECAR = 0x80
 
 STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
+
+#: "auto" sidecar policy: emit only when the sidecar costs at most this
+#: fraction of the chunk's UNCOMPRESSED size (it competes with the ratio
+#: cushion vs software Snappy, currently ~3.7% on text). Trivially-RLE
+#: and near-incompressible chunks pass (their root maps are a few pieces);
+#: dense text never does — its measured root-map fragmentation is larger
+#: than the compressed payload itself (DESIGN.md "Round-3: sidecar").
+SIDECAR_AUTO_FRAC = 0.03
 
 #: Max uncompressed bytes per data chunk (spec-fixed; equals our block size).
 MAX_CHUNK = 65536
@@ -101,15 +112,35 @@ def unmask(m: int) -> int:
 
 # ---- Framed encode / decode on the device block pipelines ----
 
+def _sidecar_chunk(elems: bytes, blen: int, policy: str) -> bytes:
+    """Sidecar chunk bytes for one compressed chunk (b'' when the policy
+    declines or the stream is unrepresentable). policy: 'off'|'auto'|
+    'always' — auto emits only under SIDECAR_AUTO_FRAC of the chunk's
+    uncompressed size."""
+    if policy == "off":
+        return b""
+    from . import sidecar as sc
+    payload = sc.build(elems, blen)
+    if payload is None:
+        return b""
+    if policy == "auto" and len(payload) + 4 > SIDECAR_AUTO_FRAC * blen:
+        return b""
+    return (bytes([CHUNK_SIDECAR]) + len(payload).to_bytes(3, "little")
+            + payload)
+
+
 def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
-             mesh=None) -> bytes:
+             mesh=None, sidecar: str = "off") -> bytes:
     """Compress to a framed stream: one data chunk per 64 KB block, all
     blocks encoded by the batched device pipeline in one pass; a chunk is
     emitted uncompressed when compression would not shrink it (the spec's
     recommendation — incompressible data costs 8 bytes per 64 KB, not the
     raw-stream worst case). `mesh` shards the block encode data-parallel
     (chunks are independent, so the framed container composes with DP
-    exactly like the raw stream does)."""
+    exactly like the raw stream does). `sidecar` ('off'|'auto'|'always')
+    prepends a spec-skippable fast-decode chunk to each compressed data
+    chunk (see sidecar.py); foreign decoders ignore it, ours then decodes
+    at the gather bound."""
     parts = [STREAM_ID]
     if not data:
         return STREAM_ID
@@ -127,8 +158,10 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
         # own CRC over just blen bytes.
         crc = int(crcs[i]) if blen == MAX_CHUNK else crc32c(
             blocks[i, :blen].tobytes())
-        payload = fmt.varint_encode(blen) + out[i, : out_lens[i]].tobytes()
+        elems = out[i, : out_lens[i]].tobytes()
+        payload = fmt.varint_encode(blen) + elems
         if len(payload) < blen:
+            parts.append(_sidecar_chunk(elems, blen, sidecar))
             body = mask(crc).to_bytes(4, "little") + payload
             parts.append(bytes([CHUNK_COMPRESSED]) +
                          len(body).to_bytes(3, "little") + body)
@@ -173,7 +206,8 @@ def _encode_blocks_any(blocks, lengths, cfg: CodecConfig, mesh):
 
 def compress_stream(src, dst, total_len: int, mesh=None,
                     blocks_per_wave: int = 64,
-                    cfg: CodecConfig = DEFAULT_CONFIG) -> int:
+                    cfg: CodecConfig = DEFAULT_CONFIG,
+                    sidecar: str = "off") -> int:
     """Stream `total_len` bytes from src into a framed stream on dst.
 
     Chunks are independent, so a framed stream concatenates across waves
@@ -200,8 +234,10 @@ def compress_stream(src, dst, total_len: int, mesh=None,
             blen = int(lengths[i])
             crc = int(crcs[i]) if blen == MAX_CHUNK else crc32c(
                 raw[pos:pos + blen])
-            payload = fmt.varint_encode(blen) + out[i, : out_lens[i]].tobytes()
+            elems = out[i, : out_lens[i]].tobytes()
+            payload = fmt.varint_encode(blen) + elems
             if len(payload) < blen:
+                parts.append(_sidecar_chunk(elems, blen, sidecar))
                 body = mask(crc).to_bytes(4, "little") + payload
                 parts.append(bytes([CHUNK_COMPRESSED])
                              + len(body).to_bytes(3, "little") + body)
@@ -254,6 +290,11 @@ def _parse_chunks(framed: bytes):
             if ln < 4:
                 raise ValueError("data chunk shorter than its checksum")
             chunks.append((typ, ip, ln))
+        elif typ == CHUNK_SIDECAR:
+            # Our fast-decode sidecar (skippable for everyone else):
+            # carried through so the decoder can pair it with the data
+            # chunk that follows.
+            chunks.append((typ, ip, ln))
         elif typ == CHUNK_PADDING or typ >= 0x80:
             pass  # skippable
         else:
@@ -262,23 +303,115 @@ def _parse_chunks(framed: bytes):
     return chunks
 
 
+def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts):
+    """Fast-path decode of compressed chunks that carry a usable sidecar.
+
+    Fills out_parts for every chunk whose sidecar-decoded bytes pass the
+    chunk CRC; returns the indices still needing the normal decoder
+    (no/unusable sidecar, or CRC mismatch — a wrong sidecar is just a
+    skippable hint, never an error by itself)."""
+    import numpy as np
+
+    from . import api
+    from . import sidecar as sc
+
+    jobs = []  # (chunk index, elems bytes, ulen, starts, vals)
+    rest = []
+    for i in comp_idx:
+        body = bodies[i][1]
+        job = None
+        if i in side_for:
+            try:
+                ulen, vstart = fmt.varint_decode(body[4:])
+            except ValueError:
+                ulen, vstart = None, 0
+            elems = body[4 + vstart:]
+            if ulen is not None and 0 < ulen <= MAX_CHUNK \
+                    and len(elems) < sc.OUT:
+                parsed = sc.parse(side_for[i])
+                if parsed is not None:
+                    sv = sc.split_for_device(*parsed, ulen)
+                    if sv is not None:
+                        job = (i, elems, ulen, sv[0], sv[1])
+        if job is None:
+            rest.append(i)
+        else:
+            jobs.append(job)
+    if not jobs:
+        return rest
+
+    B = len(jobs)
+    pw = sc.pieces_width(max(len(j[3]) for j in jobs))
+    E = np.zeros((B, sc.OUT), np.uint8)
+    S = np.full((B, pw), sc.OUT, np.int32)
+    V = np.zeros((B, pw), np.int32)
+    U = np.zeros(B, np.int32)
+    for j, (_i, elems, ulen, starts, vals) in enumerate(jobs):
+        E[j, : len(elems)] = np.frombuffer(elems, np.uint8)
+        S[j, : len(starts)] = starts
+        V[j, : len(vals)] = vals
+        U[j] = ulen
+    if B > api.API_WAVE:
+        pad = -B % api.API_WAVE
+        out, ok = sc.decode_corpus_sidecar(
+            np.pad(E, ((0, pad), (0, 0))),
+            np.pad(S, ((0, pad), (0, 0)), constant_values=sc.OUT),
+            np.pad(V, ((0, pad), (0, 0))), np.pad(U, (0, pad)),
+            wave=api.API_WAVE)
+        out, ok = np.asarray(out)[:B], np.asarray(ok)[:B]
+    else:
+        out, ok = sc.decode_chunks_jit(E, S, V, U)
+        out, ok = np.asarray(out), np.asarray(ok)
+    for j, (i, _elems, ulen, _s, _v) in enumerate(jobs):
+        piece = out[j, :ulen].tobytes()
+        want = unmask(int.from_bytes(bodies[i][1][:4], "little"))
+        if ok[j] and crc32c(piece) == want:
+            out_parts[i] = piece
+        else:
+            rest.append(i)  # settle on the normal path (raises if corrupt)
+    rest.sort()
+    return rest
+
+
 def _decode_data_chunks(bodies: list[tuple[int, bytes]],
-                        cfg: CodecConfig, mesh) -> list[bytes]:
+                        cfg: CodecConfig, mesh,
+                        use_sidecar: bool = True) -> list[bytes]:
     """Decode + CRC-verify a window of data chunks, in order.
 
     bodies: (type, body) pairs where body = 4-byte masked CRC + payload
-    (compressed: varint ulen + Snappy elements; uncompressed: raw bytes).
+    (compressed: varint ulen + Snappy elements; uncompressed: raw bytes);
+    sidecar (0x80) entries pair with the compressed chunk that follows.
     All compressed chunks of the window decode in one batched device pass:
     a chunk's uncompressed size is <= 64 KB by spec, so each is exactly
     one fragment of the fragment-parallel decoder — the framing layer IS
-    the fragment table. Raises ValueError with the (window-relative) chunk
-    index on corruption."""
+    the fragment table. Chunks with a usable sidecar take the fast path
+    (sidecar.py: skip parse/transport/resolve, one gather); the chunk CRC
+    still gates the result, so a wrong sidecar only costs a re-decode.
+    Raises ValueError with the (window-relative) chunk index on
+    corruption."""
     from .ops import decode as ops_decode
     from . import api
 
+    out_parts: list[bytes | None] = [None] * len(bodies)
+
+    # Pair each sidecar with the compressed data chunk that follows it.
+    side_for: dict[int, bytes] = {}
+    pending = None
+    for i, (t, b) in enumerate(bodies):
+        if t == CHUNK_SIDECAR:
+            pending = b
+        elif t == CHUNK_COMPRESSED:
+            if pending is not None:
+                side_for[i] = pending
+            pending = None
+        elif t == CHUNK_UNCOMPRESSED:
+            pending = None
+
     comp_idx = [i for i, (t, _) in enumerate(bodies)
                 if t == CHUNK_COMPRESSED]
-    out_parts: list[bytes | None] = [None] * len(bodies)
+    if use_sidecar and side_for and mesh is None:
+        comp_idx = _decode_sidecar_chunks(bodies, side_for, comp_idx,
+                                          out_parts)
 
     if comp_idx:
         clens = np.zeros(len(comp_idx), np.int32)
@@ -357,16 +490,18 @@ def _decode_data_chunks(bodies: list[tuple[int, bytes]],
 
 
 def decompress(framed: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
-               mesh=None) -> bytes:
+               mesh=None, use_sidecar: bool = True) -> bytes:
     """Decompress + validate a framed stream (structure and every CRC);
-    see _decode_data_chunks for the batched device pass."""
+    see _decode_data_chunks for the batched device pass. use_sidecar=False
+    ignores fast-decode sidecar chunks (they are skippable by spec)."""
     chunks = _parse_chunks(framed)
     bodies = [(t, framed[off: off + ln]) for t, off, ln in chunks]
-    return b"".join(_decode_data_chunks(bodies, cfg, mesh))
+    return b"".join(_decode_data_chunks(bodies, cfg, mesh, use_sidecar))
 
 
 def decompress_stream(src, dst, mesh=None, chunks_per_wave: int = 64,
-                      cfg: CodecConfig = DEFAULT_CONFIG) -> int:
+                      cfg: CodecConfig = DEFAULT_CONFIG,
+                      use_sidecar: bool = True) -> int:
     """Stream-decode a framed stream from src to dst in chunk waves.
 
     Chunks are independent, so windows of chunks_per_wave data chunks
@@ -377,13 +512,15 @@ def decompress_stream(src, dst, mesh=None, chunks_per_wave: int = 64,
         raise ValueError("missing stream identifier chunk")
     written = 0
     window: list[tuple[int, bytes]] = []
+    ndata = 0
 
     def flush():
-        nonlocal written
-        for piece in _decode_data_chunks(window, cfg, mesh):
+        nonlocal written, ndata
+        for piece in _decode_data_chunks(window, cfg, mesh, use_sidecar):
             dst.write(piece)
             written += len(piece)
         window.clear()
+        ndata = 0
 
     while True:
         hdr = src.read(4)
@@ -403,8 +540,13 @@ def decompress_stream(src, dst, mesh=None, chunks_per_wave: int = 64,
             if ln < 4:
                 raise ValueError("data chunk shorter than its checksum")
             window.append((typ, body))
-            if len(window) >= chunks_per_wave:
+            ndata += 1
+            # Flush only after a DATA chunk so a sidecar never dangles at
+            # a window boundary away from the chunk it describes.
+            if ndata >= chunks_per_wave:
                 flush()
+        elif typ == CHUNK_SIDECAR:
+            window.append((typ, body))
         elif typ == CHUNK_PADDING or typ >= 0x80:
             pass  # skippable
         else:

@@ -75,6 +75,14 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32),
             ]
+            lib.sr_root_map.restype = ctypes.c_int
+            lib.sr_root_map.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
             lib.sr_crc32c.restype = ctypes.c_uint32
             lib.sr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
             lib.sr_max_framed_length.restype = ctypes.c_size_t
@@ -129,6 +137,31 @@ def scan_index(comp: bytes, start: int, total: int, max_frags: int):
 def crc32c(data: bytes) -> int:
     """CRC-32C (Castagnoli, unmasked) via the native slice-by-8 path."""
     return _load().sr_crc32c(data, len(data))
+
+
+def root_map(elems: bytes, ulen: int):
+    """Affine pieces of the element stream's literal-root map (the framed
+    sidecar payload; see sr_root_map in native/snappy_ref.h).
+
+    Returns (starts u16[P], roots u16[P], slopes u8[P] in {0,1}) as numpy
+    arrays. Raises RuntimeError on malformed streams or capacity (elems
+    >= 64 KB)."""
+    import numpy as np
+
+    lib = _load()
+    max_pieces = max(1, ulen)
+    starts = (ctypes.c_uint16 * max_pieces)()
+    roots = (ctypes.c_uint16 * max_pieces)()
+    slopes = (ctypes.c_uint8 * max_pieces)()
+    npieces = ctypes.c_uint32()
+    rc = lib.sr_root_map(elems, len(elems), ulen, starts, roots, slopes,
+                         max_pieces, ctypes.byref(npieces))
+    if rc:
+        raise RuntimeError(f"root_map: {_ERRORS.get(rc, rc)}")
+    p = npieces.value
+    return (np.frombuffer(starts, dtype=np.uint16)[:p].copy(),
+            np.frombuffer(roots, dtype=np.uint16)[:p].copy(),
+            np.frombuffer(slopes, dtype=np.uint8)[:p].copy())
 
 
 def compress_framed(data: bytes, mode: int = MODE_BASELINE) -> bytes:

@@ -1,0 +1,281 @@
+"""Framed-stream decode sidecar: co-designed fast-decode metadata.
+
+The decoder's cost is dominated by copy-chain RESOLUTION (pointer doubling
++ the serial tile tail — ~85% of device decode time, DESIGN.md round-2
+stage budgets), yet the ENCODER holds every chain fully resolved when it
+emits. This module closes that loop at the format level, the way the
+reference co-designed its output stream with its datapath
+(CompressionAccelerator.scala:230-285): the framed encoder may emit one
+spec-skippable chunk (type 0x80; framing_format.txt §4.4 — foreign
+decoders MUST skip 0x80-0xfd) per compressed data chunk, carrying the
+chunk's literal ROOT MAP, and our framed decoder then skips parse,
+transport AND resolve entirely: expand the root map (one windowed scatter
++ one forward fill) and run ONE full-range byte gather from the element
+bytes. Chunk CRCs (which cover the decoded bytes) still gate the result,
+so a wrong, corrupt, or foreign sidecar can never corrupt output — the
+decoder falls back to the normal path on any mismatch.
+
+Root map representation: maximal affine pieces. For piece p covering
+output positions start[p] <= i < start[p+1]:
+
+    out[i] = elems[root[p] + slope[p] * (i - start[p])],  slope in {0, 1}
+
+slope 1 covers literal runs and non-overlapping copies, slope 0 covers
+offset-1 RLE (constant root). Size is measured, not assumed: the piece
+count IS the fragmentation of the resolved chain structure, so
+trivially-RLE data costs ~a dozen bytes while dense text costs more than
+the compressed payload itself (measured per-class table + the entropy
+argument in DESIGN.md "Round-3: sidecar co-design") — hence the "auto"
+emission policy in framing.compress.
+
+Wire payload (little-endian):
+    magic  b"tpS1"
+    npieces u32
+    starts  u16[P]   (strictly ascending, starts[0] == 0)
+    roots   u16[P]
+    slopes  bitset, ceil(P/8) bytes (np.packbits order)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAGIC = b"tpS1"
+#: Skippable framing chunk type carrying a sidecar (0x80-0xfd reserved for
+#: skippable use by the spec; foreign decoders ignore it by requirement).
+CHUNK_TYPE = 0x80
+
+#: Decode-side piece-length cap: the windowed scatter's contract is that
+#: any 1024 consecutive sources span <= WROWS*128 - 1024 output cells
+#: (ops/pallas/scatter.py WROWS note); splitting every piece to <= 22
+#: bytes guarantees 1024 * 22 + 1024 slop = 23552 <= 24576. Splits happen
+#: at decode-unpack time (a piece split is semantically free), so the wire
+#: keeps maximal pieces.
+SPLIT_LEN = 22
+
+#: Post-split piece cap: beyond this the device path loses its point and
+#: the sidecar is ignored (the normal decoder runs). Also bounds PW.
+#: Dense text needs headroom: mtg measures ~30-31 K pieces per chunk
+#: post-split (golden streams; own streams fracture slightly more).
+MAX_PIECES = 40960
+
+OUT = 1 << 16
+
+
+# ---- encoder side ----
+
+def build(elems: bytes, ulen: int) -> bytes | None:
+    """Sidecar payload for one compressed chunk's element stream, or None
+    when the stream is not representable (elems >= 64 KB, malformed, or
+    more than MAX_PIECES pieces)."""
+    try:
+        starts, roots, slopes = _root_pieces(elems, ulen)
+    except (ValueError, RuntimeError):
+        return None
+    if len(starts) == 0 or len(starts) > MAX_PIECES:
+        return None
+    return (MAGIC + np.uint32(len(starts)).tobytes()
+            + starts.astype("<u2").tobytes() + roots.astype("<u2").tobytes()
+            + np.packbits(slopes.astype(bool)).tobytes())
+
+
+def _root_pieces(elems: bytes, ulen: int):
+    try:
+        from .native import golden
+        return golden.root_map(elems, ulen)
+    except (ImportError, OSError):
+        return _root_pieces_py(elems, ulen)
+
+
+def _root_pieces_py(elems: bytes, ulen: int):
+    """Pure-python fallback: element walk building the root array (chunked
+    numpy copies honor RLE), then greedy maximal affine pieces — mirrors
+    native sr_root_map exactly."""
+    if len(elems) > 0xFFFF or ulen > OUT:
+        raise ValueError("sidecar capacity")
+    buf = np.frombuffer(elems, np.uint8)
+    root = np.zeros(ulen, np.int64)
+    ip, op, n = 0, 0, len(buf)
+    while ip < n:
+        tag = int(buf[ip])
+        kind = tag & 3
+        if kind == 0:
+            code = tag >> 2
+            if code < 60:
+                length, hdr = code + 1, 1
+            else:
+                extra = code - 59
+                if ip + 1 + extra > n:
+                    raise ValueError("truncated")
+                length = int.from_bytes(
+                    buf[ip + 1: ip + 1 + extra].tobytes(), "little") + 1
+                hdr = 1 + extra
+            if ip + hdr + length > n or op + length > ulen:
+                raise ValueError("truncated/overlong literal")
+            root[op: op + length] = np.arange(ip + hdr, ip + hdr + length)
+            ip += hdr + length
+        else:
+            if kind == 1:
+                if ip + 2 > n:
+                    raise ValueError("truncated")
+                length = ((tag >> 2) & 7) + 4
+                offset = ((tag >> 5) << 8) | int(buf[ip + 1])
+                ip += 2
+            elif kind == 2:
+                if ip + 3 > n:
+                    raise ValueError("truncated")
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(buf[ip + 1: ip + 3].tobytes(),
+                                        "little")
+                ip += 3
+            else:
+                if ip + 5 > n:
+                    raise ValueError("truncated")
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(buf[ip + 1: ip + 5].tobytes(),
+                                        "little")
+                ip += 5
+            if offset < 1 or offset > op or op + length > ulen:
+                raise ValueError("bad copy")
+            k = 0
+            while k < length:  # chunked copy: RLE-safe
+                m = min(offset, length - k)
+                root[op + k: op + k + m] = root[op + k - offset:
+                                                op + k - offset + m]
+                k += m
+        op += length
+    if op != ulen:
+        raise ValueError("length mismatch")
+    starts, roots, slopes = [], [], []
+    i = 0
+    while i < ulen:
+        starts.append(i)
+        roots.append(int(root[i]))
+        slope = 1
+        j = i + 1
+        if j < ulen:
+            d = int(root[j]) - int(root[i])
+            if d in (0, 1):
+                slope = d
+                while j < ulen and root[j] == root[j - 1] + slope:
+                    j += 1
+        slopes.append(slope)
+        i = j
+    return (np.asarray(starts, np.uint16), np.asarray(roots, np.uint16),
+            np.asarray(slopes, np.uint8))
+
+
+# ---- decoder side (host half) ----
+
+def parse(payload: bytes):
+    """Unpack a sidecar chunk payload -> (starts, roots, slopes) int32
+    numpy arrays, or None if malformed/foreign (the chunk type is
+    skippable by spec, so malformed just means 'ignore')."""
+    if len(payload) < 8 or payload[:4] != MAGIC:
+        return None
+    p = int(np.frombuffer(payload[4:8], "<u4")[0])
+    need = 8 + 4 * p + (p + 7) // 8
+    if p == 0 or p > OUT or len(payload) != need:
+        return None
+    starts = np.frombuffer(payload[8: 8 + 2 * p], "<u2").astype(np.int32)
+    roots = np.frombuffer(payload[8 + 2 * p: 8 + 4 * p],
+                          "<u2").astype(np.int32)
+    slopes = np.unpackbits(
+        np.frombuffer(payload[8 + 4 * p:], np.uint8))[:p].astype(np.int32)
+    if starts[0] != 0 or (np.diff(starts) <= 0).any():
+        return None
+    return starts, roots, slopes
+
+
+def split_for_device(starts, roots, slopes, ulen: int):
+    """Split pieces longer than SPLIT_LEN so the windowed scatter's density
+    contract holds (semantically free: sub-pieces encode the same map).
+    Returns (starts, scatter_vals) int32 arrays, or None when the sidecar
+    is inconsistent with ulen or the split exceeds MAX_PIECES."""
+    if int(starts[-1]) >= ulen:
+        return None
+    plens = np.diff(np.concatenate([starts, [np.int32(ulen)]]))
+    nsub = -(-plens // SPLIT_LEN)
+    total = int(nsub.sum())
+    if total > MAX_PIECES:
+        return None
+    base = np.repeat(starts, nsub)
+    # offset of each sub-piece within its parent: global index minus the
+    # parent's first sub-index, times SPLIT_LEN
+    first = np.repeat(np.cumsum(nsub) - nsub, nsub)
+    sub = (np.arange(total) - first) * SPLIT_LEN
+    s2 = base + sub
+    sl2 = np.repeat(slopes, nsub)
+    r2 = np.repeat(roots, nsub) + sl2 * sub
+    # scatter value: slope in bit 17, (root - slope*start + 2^16) below
+    vals = (sl2 << 17) | (r2 - sl2 * s2 + OUT)
+    return s2.astype(np.int32), vals.astype(np.int32)
+
+
+def pieces_width(total: int) -> int:
+    """Static padded piece width: 4096-multiple buckets (few jit graphs)."""
+    b = 4096
+    return int(min(max(b, -(-total // b) * b), MAX_PIECES))
+
+
+# ---- decoder side (device half) ----
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _decode_one(elems, starts, vals, ulen):
+    """out[i] = elems[g[i]] with g expanded from scattered piece values:
+    scatter (slope<<17 | root-slope*start+2^16) at piece starts (padding
+    lanes carry starts == 65536 = dropped), forward-fill, then one
+    full-range 1-limb byte gather. No parse, no transport, no resolve —
+    only the mandatory gather of the round-2c decode floor remains."""
+    from .ops import scan
+    from .ops.pallas import ffill as pallas_ffill
+    from .ops.pallas import gather as pallas_gather
+    from .ops.pallas import scatter as pallas_scatter
+
+    oiota = jnp.arange(OUT, dtype=jnp.int32)
+    if _on_tpu():
+        scattered, ovf = pallas_scatter.scatter_windowed(starts, vals, 3, OUT)
+        filled = pallas_ffill.ffill_block(scattered != 0, scattered)[0]
+    else:
+        ovf = jnp.int32(0)
+        scattered = jnp.zeros(OUT + 1, jnp.int32).at[
+            jnp.clip(starts, 0, OUT)].add(vals)[:OUT]
+        filled = scan.ffill_many(scattered != 0, (scattered,))[0]
+    slope = filled >> 17
+    g = jnp.clip(slope * oiota + (filled & 0x1FFFF) - OUT, 0, OUT - 1)
+    if _on_tpu():
+        out = pallas_gather.gather_block(elems.astype(jnp.int32), g, limbs=1)
+    else:
+        out = elems.astype(jnp.int32)[g]
+    out = jnp.where(oiota < ulen, out, 0).astype(jnp.uint8)
+    return out, ovf == 0
+
+
+@jax.jit
+def decode_chunks_jit(elems, starts, vals, ulens):
+    """Batched sidecar decode: elems (B, 65536) u8 (element bytes, zero-
+    padded), starts/vals (B, PW) i32 (PW-padded with starts == 65536 =
+    dropped), ulens (B,) i32. Returns (out (B, 65536) u8, ok (B,))."""
+    return jax.vmap(_decode_one)(elems, starts, vals, ulens)
+
+
+@functools.partial(jax.jit, static_argnames=("wave",))
+def decode_corpus_sidecar(elems, starts, vals, ulens, wave: int = 8):
+    """Single-dispatch wave-mapped form (the decode_corpus sibling): one
+    compiled program decodes any number of sidecar chunks."""
+    nf = elems.shape[0]
+    assert nf % wave == 0, "pad the chunk count to a wave multiple"
+    fw = elems.reshape(nf // wave, wave, elems.shape[-1])
+    sw = starts.reshape(nf // wave, wave, starts.shape[-1])
+    vw = vals.reshape(nf // wave, wave, vals.shape[-1])
+    uw = ulens.reshape(nf // wave, wave)
+    out, ok = jax.lax.map(
+        lambda t: jax.vmap(_decode_one)(*t), (fw, sw, vw, uw))
+    return out.reshape(nf, -1), ok.reshape(nf)
