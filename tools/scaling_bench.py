@@ -84,9 +84,21 @@ def main():
         per_chip = gbps / nd
         if base is None:
             base = per_chip
+        # Manifest-all-gather overhead: the ONLY collective in block DP is
+        # the replicated manifest out-sharding (shard.py). Re-time with
+        # the manifest left block-sharded (no gather) — the delta IS the
+        # communication cost of the scaling model.
+        f_ns = jax.jit(
+            lambda b, l: ops_encode.encode_blocks(b, l, DEFAULT_CONFIG),
+            in_shardings=(bs, ss),
+            out_shardings=(bs, ss))
+        f_ns(bd, ld)
+        t_ns = device_bench(f_ns, bd, ld, iters=args.iters)
+        ag_frac = max(0.0, (t - t_ns) / t)
         rows.append({"devices": nd, "GBps": round(gbps, 4),
                      "GBps_per_chip": round(per_chip, 4),
-                     "efficiency": round(per_chip / base, 4)})
+                     "efficiency": round(per_chip / base, 4),
+                     "manifest_allgather_frac": round(ag_frac, 4)})
         print(json.dumps(rows[-1]), flush=True)
 
     eff = rows[-1]["efficiency"] if rows else 0.0
