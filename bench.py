@@ -176,24 +176,35 @@ def main():
     sus_gbps = n * 4 * R / (time.time() - t0) / 1e9
     log(f"encode sustained (in-graph x{R}): {sus_gbps:.3f} GB/s/chip")
 
-    # End-to-end: one full pass including device->host fetch of the
-    # compressed payload and the host assembly loop (manifest slicing +
-    # join). On the tunneled dev chip the fetch is link-bound (~20 MB/s),
-    # so e2e mostly measures the tunnel; the host_assembly number is the
-    # honest device-independent cost the streaming driver overlaps
-    # (parallel/streaming.py drains on a worker thread).
+    # End-to-end: one full pass including device->host fetch and host
+    # assembly, through DEVICE-SIDE COMPACTION (ops/encode.py
+    # compact_blocks): the device scatters every block's exact bytes to
+    # its manifest offset, so the host fetches ONE dense payload buffer
+    # (bucketed slice) — no padded-capacity transfer, no per-block join.
+    # On the tunneled dev chip the fetch is still link-bound (~20 MB/s),
+    # so the net-of-transfer number is also quoted.
+    encc = jax.jit(lambda b, l: ops_encode.encode_corpus_compact(
+        b, l, DEFAULT_CONFIG, wave=ENC_WAVE))
+    BUCKET = 1 << 20
+
+    def e2e_pass():
+        dense, _lens, tt = encc(blocks_d, lens_d)
+        total = int(tt)
+        k = min(-(-total // BUCKET) * BUCKET, dense.shape[0])
+        return fmt.varint_encode(n) + np.asarray(dense[:k])[:total].tobytes()
+
+    comp2 = e2e_pass()  # warm (compile) + correctness
+    assert comp2 == comp, "compacted stream mismatch"
     t0 = time.time()
-    out_e, lens_e = enc(blocks_d, lens_d)
-    out_np = np.asarray(out_e)
-    lens_np2 = np.asarray(lens_e)
-    t_fetch = time.time() - t0
-    t0 = time.time()
-    _comp = fmt.varint_encode(n) + b"".join(
-        out_np[i, : lens_np2[i]].tobytes() for i in range(nblocks))
-    t_asm = time.time() - t0
-    e2e_gbps = n / (dt / ITERS + t_fetch + t_asm) / 1e9
-    log(f"e2e: +fetch {t_fetch*1e3:.1f} ms +assembly {t_asm*1e3:.2f} ms "
-        f"-> {e2e_gbps:.3f} GB/s single-pass e2e")
+    for _ in range(4):
+        e2e_pass()
+    t_pass = (time.time() - t0) / 4
+    e2e_gbps = n / t_pass / 1e9
+    t_fetch = t_pass - dt / ITERS  # fetch+assembly tail beyond device rate
+    e2e_net_gbps = n / max(1e-9, dt / ITERS + csize / 20e9) / 1e9
+    log(f"e2e (compacted): {t_pass*1e3:.1f} ms/pass -> {e2e_gbps:.3f} GB/s "
+        f"(fetch+assembly tail {t_fetch*1e3:.1f} ms, tunnel-bound; "
+        f"net of a 20 GB/s link the same pass is {e2e_net_gbps:.3f} GB/s)")
 
     # Decode throughput on our own stream (same wave batching).
     total, start = fmt.varint_decode(comp)
@@ -344,7 +355,8 @@ def main():
         "roundtrip_vs_real_google_snappy": real_rt,
         "ratio_vs_real_google_snappy": real_ratio,
         "encode_e2e_GBps": round(e2e_gbps, 4),
-        "host_assembly_ms": round(t_asm * 1e3, 2),
+        "encode_e2e_net20GBps_link": round(e2e_net_gbps, 4),
+        "e2e_fetch_tail_ms": round(t_fetch * 1e3, 2),
         "encode_sustained_GBps": round(sus_gbps, 4),
         "decode_sustained_GBps": round(dec_sus_gbps, 4),
         "decode_foreign_GBps": round(foreign_gbps, 4) if foreign_gbps else None,

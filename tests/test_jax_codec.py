@@ -45,6 +45,24 @@ def test_block_boundary_sizes():
         certify(data)
 
 
+def test_device_compaction_matches_join():
+    # compact_blocks must reproduce the per-block host join exactly
+    # (api.compress/shard/streaming all assemble from the dense form now).
+    from tpu_snappy.ops import encode as E
+    rng = np.random.default_rng(23)
+    base = rng.integers(65, 91, 2500, dtype=np.uint8).tobytes()
+    data = (base * 80)[: 2 * fmt.BLOCK_SIZE + 999]
+    blocks, lengths = api._to_blocks(data, fmt.BLOCK_SIZE)
+    out, lens = E.encode_blocks(blocks, lengths)
+    out, lens = np.asarray(out), np.asarray(lens)
+    ref = b"".join(out[i, : lens[i]].tobytes() for i in range(len(lengths)))
+    pad = -len(lengths) % 3
+    dense, _l, total = E.encode_corpus_compact(
+        np.pad(blocks, ((0, pad), (0, 0))), np.pad(lengths, (0, pad)),
+        wave=3)
+    assert np.asarray(dense)[: int(total)].tobytes() == ref
+
+
 def test_wave_override_identical_streams():
     # The api `wave` knob (throughput/compile trade, docs/API.md) must not
     # change a single output byte, and decode must accept any wave too.

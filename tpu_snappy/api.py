@@ -94,10 +94,17 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG, *,
         if pad:
             blocks = np.pad(blocks, ((0, pad), (0, 0)))
             lengths = np.pad(lengths, (0, pad))
-        out, out_lens = ops_encode.encode_corpus(blocks, lengths, cfg,
-                                                 wave=w)
-    else:
-        out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
+        # Device-side compaction: ONE dense fetch of exactly the payload
+        # (bucketed slice widths bound the fetch-program count) instead
+        # of (B, capacity) padded rows + a per-block host join.
+        dense, out_lens, total = ops_encode.encode_corpus_compact(
+            blocks, lengths, cfg, wave=w)
+        total = int(total)
+        bucket = 1 << 20
+        k = min(-(-total // bucket) * bucket, dense.shape[0])
+        return (fmt.varint_encode(len(data))
+                + np.asarray(dense[:k])[:total].tobytes())
+    out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
     out = np.asarray(out)
     out_lens = np.asarray(out_lens)
     parts = [fmt.varint_encode(len(data))]

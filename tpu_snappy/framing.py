@@ -148,7 +148,7 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
     from . import api
     blocks, lengths = api._to_blocks(data, MAX_CHUNK)
     nb = len(lengths)
-    out, out_lens = _encode_blocks_any(blocks, lengths, cfg, mesh)
+    elems_list = _encode_blocks_any(blocks, lengths, cfg, mesh)
     crcs = crc32c_batch(blocks)  # zero-padding is masked off below
 
     pos = 0
@@ -158,7 +158,7 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
         # own CRC over just blen bytes.
         crc = int(crcs[i]) if blen == MAX_CHUNK else crc32c(
             blocks[i, :blen].tobytes())
-        elems = out[i, : out_lens[i]].tobytes()
+        elems = elems_list[i]
         payload = fmt.varint_encode(blen) + elems
         if len(payload) < blen:
             parts.append(_sidecar_chunk(elems, blen, sidecar))
@@ -175,10 +175,16 @@ def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
 
 def _encode_blocks_any(blocks, lengths, cfg: CodecConfig, mesh):
     """Batched block encode via the single-device wave pipeline or, when a
-    mesh is given, the sharded DP path (bounded-compile either way).
-    Returns (out, out_lens) as numpy arrays for the rows of `blocks`."""
+    mesh is given, the sharded DP path (bounded-compile either way) —
+    both through device-side compaction (ops/encode.py compact_blocks),
+    so the host fetches dense payload instead of padded capacity rows.
+    Returns a list of per-block element-bytes for the rows of `blocks`."""
     from . import api
     from .ops import encode as ops_encode
+
+    def split(buf: bytes, lens) -> list[bytes]:
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        return [buf[offs[i]: offs[i + 1]] for i in range(len(lens))]
 
     nb = len(lengths)
     if mesh is not None:
@@ -190,18 +196,27 @@ def _encode_blocks_any(blocks, lengths, cfg: CodecConfig, mesh):
         bp = np.pad(blocks, ((0, padded - nb), (0, 0)))
         lp = np.pad(lengths, (0, padded - nb))
         import jax
-        out, out_lens = shard._encode_fn(mesh, cfg, wave)(
+        dense, out_lens = shard._encode_fn_compact(mesh, cfg, wave)(
             jax.device_put(bp, meshlib.block_sharding(mesh)),
             jax.device_put(lp, meshlib.scalar_sharding(mesh)))
-    elif nb > api.API_WAVE:
+        lens_np = np.asarray(out_lens)
+        buf = b"".join(shard.assemble_compact(
+            dense, lens_np, nb, mesh, cfg.block_capacity))
+        return split(buf, lens_np[:nb])
+    if nb > api.API_WAVE:
         pad = -nb % api.API_WAVE
         bp = np.pad(blocks, ((0, pad), (0, 0))) if pad else blocks
         lp = np.pad(lengths, (0, pad)) if pad else lengths
-        out, out_lens = ops_encode.encode_corpus(bp, lp, cfg,
-                                                 wave=api.API_WAVE)
-    else:
-        out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
-    return np.asarray(out)[:nb], np.asarray(out_lens)[:nb]
+        dense, out_lens, total = ops_encode.encode_corpus_compact(
+            bp, lp, cfg, wave=api.API_WAVE)
+        total = int(total)
+        bucket = 1 << 20
+        k = min(-(-total // bucket) * bucket, dense.shape[0])
+        buf = np.asarray(dense[:k])[:total].tobytes()
+        return split(buf, np.asarray(out_lens)[:nb])
+    out, out_lens = ops_encode.encode_blocks(blocks, lengths, cfg)
+    out, lens_np = np.asarray(out), np.asarray(out_lens)
+    return [out[i, : lens_np[i]].tobytes() for i in range(nb)]
 
 
 def compress_stream(src, dst, total_len: int, mesh=None,
@@ -223,7 +238,7 @@ def compress_stream(src, dst, total_len: int, mesh=None,
     written = len(STREAM_ID)
     remaining = total_len
 
-    def assemble(raw, out, out_lens, lengths):
+    def assemble(raw, elems_list, lengths):
         nonlocal written
         crcs = crc32c_batch(
             np.frombuffer(raw.ljust(len(lengths) * MAX_CHUNK, b"\0"),
@@ -234,7 +249,7 @@ def compress_stream(src, dst, total_len: int, mesh=None,
             blen = int(lengths[i])
             crc = int(crcs[i]) if blen == MAX_CHUNK else crc32c(
                 raw[pos:pos + blen])
-            elems = out[i, : out_lens[i]].tobytes()
+            elems = elems_list[i]
             payload = fmt.varint_encode(blen) + elems
             if len(payload) < blen:
                 parts.append(_sidecar_chunk(elems, blen, sidecar))
@@ -259,10 +274,10 @@ def compress_stream(src, dst, total_len: int, mesh=None,
                 raise IOError("short read from source")
             remaining -= take
             blocks, lengths = api._to_blocks(raw, MAX_CHUNK)
-            out, out_lens = _encode_blocks_any(blocks, lengths, cfg, mesh)
+            elems_list = _encode_blocks_any(blocks, lengths, cfg, mesh)
             if fut is not None:
                 fut.result()
-            fut = pool.submit(assemble, raw, out, out_lens, lengths)
+            fut = pool.submit(assemble, raw, elems_list, lengths)
         if fut is not None:
             fut.result()
     return written

@@ -163,28 +163,14 @@ def _elem_fields(c: jax.Array):
     return size, outbytes, is_lit, hdr, length, copy_off
 
 
-def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
-                    resolve: str = "auto", fields: str = "auto",
-                    collapse_runs: bool = True):
-    """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
-    resolve: copy-chain strategy — "auto" (TPU: "tiledtail", else
-    "hybrid"), "tiledtail" (adaptive dense rounds + tile-sequential tail
-    kernel), "tiled" (tail kernel alone), "hybrid" (dense doubling rounds
-    while the moving set is large, then sort-extract + sparse pointer
-    chase + sort-restore; see the inline analysis), "plain" (per-round
-    dispatched doubling to the fixed point), "kernel" (fused mega-kernel),
-    "stable", "windowed" (windowed prefix rounds), or "xla"; identical
-    results. fields: "auto"/"xla" (fused XLA arithmetic) or "kernel"
-    (Pallas; measured slower, kept selectable). collapse_runs: arithmetic
-    periodic-run collapse before doubling (A/B knob).
-    Returns (out (65536,) uint8, ok bool)."""
-    if resolve == "auto":
-        # TPU: adaptive dense rounds + the tile-sequential tail kernel
-        # (same-session A/B on v5e, us/frag: mtg 698 vs 863, repeating 511
-        # vs 672, random 424 vs 423, google-mtg streams 748 — see
-        # ops/pallas/tiledres.py). CPU keeps the sort-based hybrid (the
-        # kernel only runs interpreted there).
-        resolve = "tiledtail" if _on_tpu() else "hybrid"
+def parse_transport(c: jax.Array, clen: jax.Array, ulen: jax.Array,
+                    fields: str = "auto", collapse_runs: bool = True):
+    """The decode front half: PARSE + TRANSPORT + run collapse.
+
+    Returns (lit_out (65536,) i32 bytes, src (65536,) i32 one-step source
+    map with src[p] <= p, ok bool) — exactly the RESOLVE stage's inputs.
+    Factored out of decode_fragment so stage studies and alternative
+    resolvers consume the identical front."""
     m = c.shape[-1]
     iota = jnp.arange(m, dtype=jnp.int32)
 
@@ -281,6 +267,33 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     else:
         src = jnp.where(lit_f, oiota, src_plain)
     src = jnp.clip(src, 0, OUT - 1)
+    return lit_out, src, ok
+
+
+def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
+                    resolve: str = "auto", fields: str = "auto",
+                    collapse_runs: bool = True):
+    """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
+    resolve: copy-chain strategy — "auto" (TPU: "tiledtail", else
+    "hybrid"), "tiledtail" (adaptive dense rounds + tile-sequential tail
+    kernel), "tiled" (tail kernel alone), "hybrid" (dense doubling rounds
+    while the moving set is large, then sort-extract + sparse pointer
+    chase + sort-restore; see the inline analysis), "plain" (per-round
+    dispatched doubling to the fixed point), "kernel" (fused mega-kernel),
+    "stable", "windowed" (windowed prefix rounds), or "xla"; identical
+    results. fields: "auto"/"xla" (fused XLA arithmetic) or "kernel"
+    (Pallas; measured slower, kept selectable). collapse_runs: arithmetic
+    periodic-run collapse before doubling (A/B knob).
+    Returns (out (65536,) uint8, ok bool)."""
+    if resolve == "auto":
+        # TPU: adaptive dense rounds + the tile-sequential tail kernel
+        # (same-session A/B on v5e, us/frag: mtg 698 vs 863, repeating 511
+        # vs 672, random 424 vs 423, google-mtg streams 748 — see
+        # ops/pallas/tiledres.py). CPU keeps the sort-based hybrid (the
+        # kernel only runs interpreted there).
+        resolve = "tiledtail" if _on_tpu() else "hybrid"
+    lit_out, src, ok = parse_transport(c, clen, ulen, fields, collapse_runs)
+    oiota = jnp.arange(OUT, dtype=jnp.int32)
 
     # Pointer doubling to the fixed point (depth <= 65536 => <= 16 rounds;
     # chains always terminate: copy sources are strictly behind). Measured

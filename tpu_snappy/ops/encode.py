@@ -709,6 +709,45 @@ def encode_blocks(blocks: jax.Array, lengths: jax.Array,
         lambda b, n: encode_block(b, n, cfg, placement))(blocks, lengths)
 
 
+def compact_blocks(out: jax.Array, out_lens: jax.Array):
+    """Device-side stream compaction: scatter each block's exact bytes to
+    its manifest offset so the host fetches ONE dense buffer of exactly
+    the compressed payload instead of (B, capacity) padded rows. This is
+    the pure-functional form of the reference's store-bank drain (the
+    RTL serializes through streamHolder into bank 1 and DMA-drains
+    exactly the written rows, MemoryController.scala:219-264).
+
+    out: (B, cap) uint8 rows, zero beyond out_lens (encode_block
+    guarantees that); out_lens: (B,) int32. Returns (dense (B*cap,)
+    uint8, total int32) with dense[:total] the concatenated stream and
+    zeros beyond. Runs under jit; blocks concatenate in row order via an
+    ascending scan of dynamic_update_slice, so each row's zero tail is
+    overwritten by the next row's real bytes."""
+    nb, cap = out.shape
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(out_lens)[:-1].astype(jnp.int32)])
+
+    def body(dense, xs):
+        row, off = xs
+        return jax.lax.dynamic_update_slice(dense, row, (off,)), None
+
+    dense0 = jnp.zeros(nb * cap, jnp.uint8)
+    dense, _ = jax.lax.scan(body, dense0, (out, offs))
+    return dense, jnp.sum(out_lens)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "placement", "wave"))
+def encode_corpus_compact(blocks: jax.Array, lengths: jax.Array,
+                          cfg: CodecConfig = DEFAULT_CONFIG,
+                          placement: str = "auto", wave: int = 8):
+    """encode_corpus fused with device-side compaction: returns
+    (dense (NB*cap,) uint8, out_lens (NB,) int32, total int32). The host
+    fetches out_lens (tiny) and dense[:total] — exactly the payload."""
+    out, lens = encode_corpus(blocks, lengths, cfg, placement, wave)
+    dense, total = compact_blocks(out, lens)
+    return dense, lens, total
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "placement", "wave"))
 def encode_corpus(blocks: jax.Array, lengths: jax.Array,
                   cfg: CodecConfig = DEFAULT_CONFIG,

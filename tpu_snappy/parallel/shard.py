@@ -55,6 +55,63 @@ def _encode_fn(mesh, cfg: CodecConfig, wave: int = DP_WAVE):
 
 
 @functools.lru_cache(maxsize=8)
+def _encode_fn_compact(mesh, cfg: CodecConfig, wave: int = DP_WAVE):
+    """Sharded encode with DEVICE-SIDE stream compaction: each device
+    scatters its blocks' exact bytes to their local manifest offsets
+    (ops_encode.compact_blocks — the RTL's store-bank drain role), so
+    assembly fetches per-device dense payload segments instead of
+    (B, capacity) padded rows. Returns (dense (NB*cap,) device-sharded,
+    lens (NB,) replicated)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    axis = cfg.dp_axis
+
+    def local(b, l):
+        out, lens = ops_encode.encode_corpus(b, l, cfg, wave=wave)
+        dense, _total = ops_encode.compact_blocks(out, lens)
+        return dense, lens
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False)
+    return jax.jit(
+        fn,
+        out_shardings=(NamedSharding(mesh, P(cfg.dp_axis)),
+                       meshlib.replicated(mesh)),
+    )
+
+
+def assemble_compact(dense, lens_np: np.ndarray, nblocks: int, mesh,
+                     cap: int, fetch_bucket: int = 1 << 20) -> list[bytes]:
+    """Host assembly from the compacted form: per-device dense segments
+    sliced to their exact local totals (bucketed slice shapes keep the
+    fetch-program count bounded). Returns the per-device payload pieces
+    in block order. Multi-process runs gather the global dense first
+    (fetch_global) — the padded transfer is the DCN collective's job;
+    single-process fetches only ceil(total/bucket) of each segment."""
+    ndev = mesh.devices.size
+    per = len(lens_np) // ndev
+    pieces = []
+    if jax.process_count() > 1:
+        dn = fetch_global(dense)
+        for d in range(ndev):
+            nb_d = min(max(nblocks - d * per, 0), per)
+            if nb_d == 0:
+                break
+            total = int(lens_np[d * per: d * per + nb_d].sum())
+            pieces.append(dn[d * per * cap: d * per * cap + total].tobytes())
+        return pieces
+    for d in range(ndev):
+        nb_d = min(max(nblocks - d * per, 0), per)
+        if nb_d == 0:
+            break
+        total = int(lens_np[d * per: d * per + nb_d].sum())
+        k = min(-(-total // fetch_bucket) * fetch_bucket, per * cap)
+        seg = np.asarray(dense[d * per * cap: d * per * cap + k])
+        pieces.append(seg[:total].tobytes())
+    return pieces
+
+
+@functools.lru_cache(maxsize=8)
 def _decode_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
     from jax.sharding import PartitionSpec as P
     local = jax.shard_map(
@@ -107,14 +164,14 @@ def encode_dp(data: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
 
     blocks = jax.device_put(arr, meshlib.block_sharding(mesh))
     lens = jax.device_put(lengths, meshlib.scalar_sharding(mesh))
-    out, out_lens = _encode_fn(mesh, cfg, wave)(blocks, lens)
+    dense, out_lens = _encode_fn_compact(mesh, cfg, wave)(blocks, lens)
 
-    # Ordered assembly on host from the manifest (exclusive-scan offsets).
-    out_np = fetch_global(out)
+    # Ordered assembly on host: per-device dense payload segments (the
+    # device already compacted each block to its manifest offset — no
+    # per-block Python join, no padded-capacity fetch).
     lens_np = np.asarray(out_lens)  # replicated: addressable everywhere
-    parts = [fmt.varint_encode(n)]
-    for i in range(nblocks):
-        parts.append(out_np[i, : lens_np[i]].tobytes())
+    parts = [fmt.varint_encode(n)] + assemble_compact(
+        dense, lens_np, nblocks, mesh, cfg.block_capacity)
     return b"".join(parts)
 
 

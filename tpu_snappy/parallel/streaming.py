@@ -65,7 +65,7 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
     jwave = min(shard.DP_WAVE, per_dev)
     blocks_per_wave = (-(-per_dev // jwave) * jwave) * n_dev
     wave_bytes = blocks_per_wave * cfg.block_size
-    enc = shard._encode_fn(mesh, cfg, jwave)
+    enc = shard._encode_fn_compact(mesh, cfg, jwave)
     bspec = meshlib.block_sharding(mesh)
     sspec = meshlib.scalar_sharding(mesh)
 
@@ -100,22 +100,25 @@ def compress_stream(src: BinaryIO, dst: BinaryIO, total_len: int, mesh=None,
     with cf.ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
         for blocks, lens, nblocks, take in waves():
-            out, out_lens = enc(blocks, lens)  # async dispatch
+            dense, out_lens = enc(blocks, lens)  # async dispatch
             if fut is not None:
                 fut.result()  # surface drain errors before queueing more
-            fut = pool.submit(_drain, (out, out_lens, nblocks, take),
-                              dst, stats)
+            fut = pool.submit(_drain, (dense, out_lens, nblocks, take),
+                              dst, stats, mesh, cfg.block_capacity)
         if fut is not None:
             fut.result()
     return stats
 
 
-def _drain(pending, dst, stats) -> None:
-    out, out_lens, nblocks, take = pending
-    out_np = shard.fetch_global(out)
+def _drain(pending, dst, stats, mesh, cap) -> None:
+    dense, out_lens, nblocks, take = pending
     lens_np = np.asarray(out_lens)  # replicated manifest
-    for i in range(nblocks):
-        dst.write(out_np[i, : lens_np[i]].tobytes())
-        stats.out_bytes += int(lens_np[i])
+    # Device-compacted wave: fetch per-device dense payload segments and
+    # write them straight out — no per-block Python join (the device
+    # scattered every block to its manifest offset, ops/encode.py
+    # compact_blocks).
+    for piece in shard.assemble_compact(dense, lens_np, nblocks, mesh, cap):
+        dst.write(piece)
+        stats.out_bytes += len(piece)
     stats.in_bytes += take
     stats.waves += 1
