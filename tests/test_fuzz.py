@@ -61,6 +61,19 @@ def test_roundtrip_random_seeds(seed, n):
 
 @settings(max_examples=12, deadline=None)
 @given(structured_bytes())
+def test_sidecar_framed_fuzz(data):
+    """Framed sidecar property: for arbitrary structures, always-emitted
+    sidecars must decode bit-exactly through the fast path, through the
+    sidecar-ignoring path, and through the independent C++ framed golden."""
+    from tpu_snappy import framing
+    fr = framing.compress(data, sidecar="always")
+    assert framing.decompress(fr) == data
+    assert framing.decompress(fr, use_sidecar=False) == data
+    assert golden.uncompress_framed(fr, max_out=len(data) + 16) == data
+
+
+@settings(max_examples=12, deadline=None)
+@given(structured_bytes())
 def test_emission_modes_identical_fuzz(data):
     # The TPU-default single-lane emission (and the two-lane emit kernel,
     # interpreted here) must produce the byte-identical stream to the

@@ -30,6 +30,59 @@ def check(stream: bytes, expected: bytes):
     assert api.decompress(stream) == expected
 
 
+# --- sidecar wire vectors: root maps derived BY HAND ------------------------
+
+def test_sidecar_wire_hand_derived():
+    """Stream: literal 'abcd' + copy1(len 4, off 2) + literal 'Z'.
+    Output 'abcdcdcdZ'. Root map into the ELEMENT bytes, by hand:
+    out0-3 <- elems 1-4; the copy RLEs out2-3 twice (roots 3,4,3,4 —
+    two slope-1 pieces); out8 <- elems 8. Wire = magic 'tpS1', P=4,
+    starts [0,4,6,8], roots [1,3,3,8], slopes bitset 0xF0."""
+    from tpu_snappy import sidecar
+    elems = bytes([0x0C]) + b"abcd" + bytes([0x01, 0x02, 0x00]) + b"Z"
+    expected = b"abcd" + b"cdcd" + b"Z"
+    check(fmt_varint(9) + elems, expected)
+    starts, roots, slopes = golden.root_map(elems, 9)
+    assert starts.tolist() == [0, 4, 6, 8]
+    assert roots.tolist() == [1, 3, 3, 8]
+    assert slopes.tolist() == [1, 1, 1, 1]
+    wire = sidecar.build(elems, 9)
+    assert wire == (b"tpS1" + (4).to_bytes(4, "little")
+                    + b"\x00\x00\x04\x00\x06\x00\x08\x00"   # starts u16 LE
+                    + b"\x01\x00\x03\x00\x03\x00\x08\x00"   # roots u16 LE
+                    + b"\xf0")                              # slope bits
+    # python fallback agrees bit-for-bit
+    a = sidecar._root_pieces_py(elems, 9)
+    assert ([x.tolist() for x in a]
+            == [starts.tolist(), roots.tolist(), slopes.tolist()])
+
+
+def test_sidecar_wire_rle_slope0():
+    """Literal 'x' + copy1(len 7, off 1) = 'x'*8: every byte (including
+    the literal head — its own root) roots at elems[1], a constant, so the
+    greedy extractor emits ONE slope-0 piece covering the whole output:
+    out[i] = elems[1 + 0*(i-0)] = 'x'."""
+    from tpu_snappy import sidecar
+    elems = bytes([0x00]) + b"x" + bytes([0x01 | (3 << 2), 0x01])
+    check(fmt_varint(8) + elems, b"x" * 8)
+    starts, roots, slopes = golden.root_map(elems, 8)
+    assert starts.tolist() == [0]
+    assert roots.tolist() == [1]
+    assert slopes.tolist() == [0]
+    wire = sidecar.build(elems, 8)
+    parsed = sidecar.parse(wire)
+    assert [x.tolist() for x in parsed] == [[0], [1], [0]]
+
+
+def fmt_varint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
 # --- literals: every header form at its boundaries -------------------------
 
 def test_literal_1_byte():
