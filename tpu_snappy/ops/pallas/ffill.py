@@ -66,14 +66,19 @@ def _interpret() -> bool:
     return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=())
-def ffill_block(mask: jax.Array, *vals: jax.Array):
+@functools.partial(jax.jit, static_argnames=("max_gap",))
+def ffill_block(mask: jax.Array, *vals: jax.Array, max_gap: int | None = None):
     """Forward-fill vals from the latest true mask position (flattened
     order). mask: (M,) bool/int32, M a multiple of 128. Positions before the
-    first true mask keep their original entries. Returns filled arrays."""
+    first true mask keep their original entries. max_gap: caller-proven
+    bound on the distance to the nearest set mask behind any position
+    (e.g. the sidecar's split pieces guarantee <= SPLIT_LEN) — cuts the
+    Hillis-Steele levels from log2(M) to log2(max_gap). Returns filled
+    arrays."""
     m = mask.shape[-1]
     rows = m // LANES
-    levels = max(1, (m - 1).bit_length())
+    levels = max(1, ((max_gap if max_gap is not None else m) - 1)
+                 .bit_length())
     shaped = [v.reshape(rows, LANES).astype(jnp.int32) for v in vals]
     spec = pl.BlockSpec((rows, LANES), lambda: (0, 0), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(

@@ -242,7 +242,10 @@ def _decode_one(elems, starts, vals, ulen):
     oiota = jnp.arange(OUT, dtype=jnp.int32)
     if _on_tpu():
         scattered, ovf = pallas_scatter.scatter_windowed(starts, vals, 3, OUT)
-        filled = pallas_ffill.ffill_block(scattered != 0, scattered)[0]
+        # Split pieces bound every fill gap at SPLIT_LEN: 5 fill levels,
+        # not log2(64K) = 16.
+        filled = pallas_ffill.ffill_block(scattered != 0, scattered,
+                                          max_gap=SPLIT_LEN)[0]
     else:
         ovf = jnp.int32(0)
         scattered = jnp.zeros(OUT + 1, jnp.int32).at[
