@@ -114,6 +114,17 @@ def test_framed_roundtrip_policies(policy):
     assert golden.uncompress_framed(fr, max_out=len(mix) + 10) == mix
 
 
+def test_framed_sidecar_composes_with_mesh():
+    # Sidecar fast-decode shards DP like every other chunk pass; streams
+    # and bytes must match the single-device path exactly.
+    from tpu_snappy.parallel import mesh as meshlib
+    mix = _mix()
+    m = meshlib.make_mesh(4)
+    fr = framing.compress(mix, sidecar="always", mesh=m)
+    assert fr == framing.compress(mix, sidecar="always")
+    assert framing.decompress(fr, mesh=m) == mix
+
+
 def test_sidecar_chunk_type_is_spec_skippable():
     assert 0x80 <= framing.CHUNK_SIDECAR <= 0xFD
     assert framing.CHUNK_SIDECAR == sidecar.CHUNK_TYPE

@@ -318,13 +318,15 @@ def _parse_chunks(framed: bytes):
     return chunks
 
 
-def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts):
+def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
+                           mesh=None):
     """Fast-path decode of compressed chunks that carry a usable sidecar.
 
     Fills out_parts for every chunk whose sidecar-decoded bytes pass the
     chunk CRC; returns the indices still needing the normal decoder
     (no/unusable sidecar, or CRC mismatch — a wrong sidecar is just a
-    skippable hint, never an error by itself)."""
+    skippable hint, never an error by itself). With a mesh, the batch
+    shards DP like every other chunk pass (shard._decode_sidecar_fn)."""
     import numpy as np
 
     from . import api
@@ -366,7 +368,23 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts):
         S[j, : len(starts)] = starts
         V[j, : len(vals)] = vals
         U[j] = ulen
-    if B > api.API_WAVE:
+    if mesh is not None:
+        import jax
+
+        from .parallel import mesh as meshlib, shard
+        ndev = mesh.devices.size
+        per_dev = -(-B // ndev)
+        wave = min(shard.DP_WAVE, per_dev)
+        padded = (-(-per_dev // wave) * wave) * ndev
+        bs, ss = meshlib.block_sharding(mesh), meshlib.scalar_sharding(mesh)
+        out, ok = shard._decode_sidecar_fn(mesh, "dp", wave)(
+            jax.device_put(np.pad(E, ((0, padded - B), (0, 0))), bs),
+            jax.device_put(np.pad(S, ((0, padded - B), (0, 0)),
+                                  constant_values=sc.OUT), bs),
+            jax.device_put(np.pad(V, ((0, padded - B), (0, 0))), bs),
+            jax.device_put(np.pad(U, (0, padded - B)), ss))
+        out, ok = shard.fetch_global(out)[:B], np.asarray(ok)[:B]
+    elif B > api.API_WAVE:
         pad = -B % api.API_WAVE
         out, ok = sc.decode_corpus_sidecar(
             np.pad(E, ((0, pad), (0, 0))),
@@ -424,9 +442,9 @@ def _decode_data_chunks(bodies: list[tuple[int, bytes]],
 
     comp_idx = [i for i, (t, _) in enumerate(bodies)
                 if t == CHUNK_COMPRESSED]
-    if use_sidecar and side_for and mesh is None:
+    if use_sidecar and side_for:
         comp_idx = _decode_sidecar_chunks(bodies, side_for, comp_idx,
-                                          out_parts)
+                                          out_parts, mesh)
 
     if comp_idx:
         clens = np.zeros(len(comp_idx), np.int32)

@@ -112,6 +112,25 @@ def assemble_compact(dense, lens_np: np.ndarray, nblocks: int, mesh,
 
 
 @functools.lru_cache(maxsize=8)
+def _decode_sidecar_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
+    """Sharded sidecar fast-decode (framing 0x80 chunks): the per-chunk
+    scatter+ffill+gather pipeline is chunk-independent like everything
+    else, so it shards DP identically to _decode_fn."""
+    from jax.sharding import PartitionSpec as P
+
+    from .. import sidecar as sc
+    local = jax.shard_map(
+        lambda e, s, v, u: sc.decode_corpus_sidecar(e, s, v, u, wave=wave),
+        mesh=mesh, in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                             P(axis)),
+        out_specs=(P(axis, None), P(axis)), check_vma=False)
+    return jax.jit(
+        local,
+        out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _decode_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
     from jax.sharding import PartitionSpec as P
     local = jax.shard_map(
