@@ -305,8 +305,9 @@ def main():
             s2, vals = sc.split_for_device(*sc.parse(payload), int(ulens[i]))
             jobs.append((elems, int(ulens[i]), s2, vals))
         pw = max(sc.pieces_width(len(j[2])) for j in jobs)
+        ew = sc.elems_width(max(len(j[0]) for j in jobs))
         npad = nf + (-nf % DEC_WAVE)
-        E = np.zeros((npad, sc.OUT), np.uint8)
+        E = np.zeros((npad, ew), np.uint8)
         S = np.full((npad, pw), sc.OUT, np.int32)
         V = np.zeros((npad, pw), np.int32)
         U = np.zeros(npad, np.int32)

@@ -359,7 +359,8 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
 
     B = len(jobs)
     pw = sc.pieces_width(max(len(j[3]) for j in jobs))
-    E = np.zeros((B, sc.OUT), np.uint8)
+    ew = sc.elems_width(max(len(j[1]) for j in jobs))
+    E = np.zeros((B, ew), np.uint8)
     S = np.full((B, pw), sc.OUT, np.int32)
     V = np.zeros((B, pw), np.int32)
     U = np.zeros(B, np.int32)

@@ -116,8 +116,9 @@ def scatter_block(dest: jax.Array, values: jax.Array, limbs: int = 2,
 WROWS = 192
 
 
-def _make_wkernel(limbs: int, hi_n: int):
+def _make_wkernel(limbs: int, hi_n: int, wrows: int = WROWS):
     cap = hi_n * LO
+    WR = wrows
 
     def kernel(dest_ref, *rest):
         v_refs = rest[:limbs]
@@ -136,18 +137,18 @@ def _make_wkernel(limbs: int, hi_n: int):
 
         @pl.when(m < cap)
         def _():
-            base = jnp.minimum((m >> 10) << 3, hi_n - WROWS)
+            base = jnp.minimum((m >> 10) << 3, hi_n - WR)
             rel = (dest >> 7) - base
-            rel = jnp.where(active, rel, WROWS)
-            ovf_ref[0, 0] += jnp.sum(((rel >= WROWS) & active)
+            rel = jnp.where(active, rel, WR)
+            ovf_ref[0, 0] += jnp.sum(((rel >= WR) & active)
                                      .astype(jnp.int32))
             lo = dest & (LO - 1)
-            w_iota = jax.lax.broadcasted_iota(jnp.int32, (WROWS, TC), 0)
+            w_iota = jax.lax.broadcasted_iota(jnp.int32, (WR, TC), 0)
             lo_iota = jax.lax.broadcasted_iota(jnp.int32, (LO, TC), 0)
             # bf16 one-hots/values: exact (0/1 times limb values <= 256)
             # and half the build cost — unlike the full-height kernel,
             # the windowed form is build-bound, not MAC-bound.
-            contribs = [jnp.zeros((WROWS, LO), jnp.float32)
+            contribs = [jnp.zeros((WR, LO), jnp.float32)
                         for _ in range(limbs)]
             for r in range(TR):
                 hi_oh = (rel[r:r + 1, :] == w_iota).astype(jnp.bfloat16)
@@ -159,7 +160,7 @@ def _make_wkernel(limbs: int, hi_n: int):
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
             for j in range(limbs):
-                acc[j, pl.ds(base, WROWS), :] += contribs[j]
+                acc[j, pl.ds(base, WR), :] += contribs[j]
 
         @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
         def _():
@@ -171,16 +172,17 @@ def _make_wkernel(limbs: int, hi_n: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("limbs", "out_cells"))
+@functools.partial(jax.jit, static_argnames=("limbs", "out_cells", "wrows"))
 def scatter_windowed(dest: jax.Array, values: jax.Array, limbs: int = 3,
-                     out_cells: int = N):
+                     out_cells: int = N, wrows: int = WROWS):
     """Windowed variant of scatter_block for NEAR-MONOTONE destinations
     (the decode transport: element/payload dests are nondecreasing apart
     from dropped-write sentinels). Each 1024-source tile builds one-hots
-    over a WROWS-row window anchored at its minimum active destination —
-    WROWS/hi_n of the full scatter's MAC work. Destinations whose tile
+    over a wrows-row window anchored at its minimum active destination —
+    wrows/hi_n of the full scatter's MAC work. Destinations whose tile
     violates the window contract (impossible for valid Snappy transport
-    sources, see WROWS) are dropped and counted.
+    sources, see WROWS; the sidecar's split pieces prove tighter bounds
+    and pass a smaller wrows) are dropped and counted.
 
     Returns (out (out_cells,) int32, overflow count int32)."""
     m = dest.shape[-1]
@@ -191,7 +193,7 @@ def scatter_windowed(dest: jax.Array, values: jax.Array, limbs: int = 3,
           .reshape(m // TC, TC).astype(jnp.float32) for j in range(limbs)]
     tile = pl.BlockSpec((TR, TC), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out, ovf = pl.pallas_call(
-        _make_wkernel(limbs, hi_n),
+        _make_wkernel(limbs, hi_n, wrows),
         grid=(m // (TR * TC),),
         in_specs=[tile] * (1 + limbs),
         out_specs=[

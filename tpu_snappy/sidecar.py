@@ -49,13 +49,24 @@ MAGIC = b"tpS1"
 #: skippable use by the spec; foreign decoders ignore it by requirement).
 CHUNK_TYPE = 0x80
 
-#: Decode-side piece-length cap: the windowed scatter's contract is that
-#: any 1024 consecutive sources span <= WROWS*128 - 1024 output cells
-#: (ops/pallas/scatter.py WROWS note); splitting every piece to <= 22
-#: bytes guarantees 1024 * 22 + 1024 slop = 23552 <= 24576. Splits happen
-#: at decode-unpack time (a piece split is semantically free), so the wire
+#: Decode-side piece-length cap: splitting every piece to <= SPLIT_LEN
+#: bytes bounds any 1024 consecutive scatter sources to a span of
+#: 1024 * SPLIT_LEN + 1024 slop cells, so the windowed scatter runs with
+#: wrows = 8 * (SPLIT_LEN + 1) rows. The scatter is window-width-bound
+#: (v5e standalone A/B on mtg pieces: wrows 72 -> 131 vs 192 -> 202
+#: us/frag; a batched-row-dot kernel variant measured 1.9-3x WORSE —
+#: tools/jobs_archive/r3_widescatter2). Full-pipeline sweep (distinct jit
+#: traces, B=24, mtg, us/frag): 22 -> 176.9, 12 -> 167.9, **8 -> 164.6**,
+#: 6 -> 170.1, 4 -> 169.4, 3 -> 170.7 — below 8 the piece inflation
+#: (pw 32768 -> 40960) eats the window saving. Splits happen at
+#: decode-unpack time (a piece split is semantically free), so the wire
 #: keeps maximal pieces.
-SPLIT_LEN = 22
+SPLIT_LEN = 8
+
+
+def _wrows(split_len: int) -> int:
+    """Windowed-scatter rows implied by the split bound."""
+    return 8 * (split_len + 1)
 
 #: Post-split piece cap: beyond this the device path loses its point and
 #: the sidecar is ignored (the normal decoder runs). Also bounds PW.
@@ -191,23 +202,24 @@ def parse(payload: bytes):
     return starts, roots, slopes
 
 
-def split_for_device(starts, roots, slopes, ulen: int):
-    """Split pieces longer than SPLIT_LEN so the windowed scatter's density
+def split_for_device(starts, roots, slopes, ulen: int,
+                     split_len: int = SPLIT_LEN):
+    """Split pieces longer than split_len so the windowed scatter's density
     contract holds (semantically free: sub-pieces encode the same map).
     Returns (starts, scatter_vals) int32 arrays, or None when the sidecar
     is inconsistent with ulen or the split exceeds MAX_PIECES."""
     if int(starts[-1]) >= ulen:
         return None
     plens = np.diff(np.concatenate([starts, [np.int32(ulen)]]))
-    nsub = -(-plens // SPLIT_LEN)
+    nsub = -(-plens // split_len)
     total = int(nsub.sum())
     if total > MAX_PIECES:
         return None
     base = np.repeat(starts, nsub)
     # offset of each sub-piece within its parent: global index minus the
-    # parent's first sub-index, times SPLIT_LEN
+    # parent's first sub-index, times split_len
     first = np.repeat(np.cumsum(nsub) - nsub, nsub)
-    sub = (np.arange(total) - first) * SPLIT_LEN
+    sub = (np.arange(total) - first) * split_len
     s2 = base + sub
     sl2 = np.repeat(slopes, nsub)
     r2 = np.repeat(roots, nsub) + sl2 * sub
@@ -222,37 +234,50 @@ def pieces_width(total: int) -> int:
     return int(min(max(b, -(-total // b) * b), MAX_PIECES))
 
 
+def elems_width(max_elems: int) -> int:
+    """Static padded element-bytes width (the gather TABLE height): 8192
+    buckets. The gather's hi-one-hot build is table-height-proportional,
+    and compressed chunks are < 64 KB by the framing emit rule, so text
+    runs at ~half the full-block table."""
+    b = 8192
+    return int(min(max(b, -(-max_elems // b) * b), OUT))
+
+
 # ---- decoder side (device half) ----
 
 def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _decode_one(elems, starts, vals, ulen):
+def _decode_one(elems, starts, vals, ulen, split_len: int = SPLIT_LEN):
     """out[i] = elems[g[i]] with g expanded from scattered piece values:
     scatter (slope<<17 | root-slope*start+2^16) at piece starts (padding
     lanes carry starts == 65536 = dropped), forward-fill, then one
-    full-range 1-limb byte gather. No parse, no transport, no resolve —
-    only the mandatory gather of the round-2c decode floor remains."""
+    1-limb byte gather whose table is the BUCKETED element width (< 64 KB
+    for compressed chunks — the build cost is table-height-proportional).
+    No parse, no transport, no resolve — only the mandatory gather of the
+    round-2c decode floor remains."""
     from .ops import scan
     from .ops.pallas import ffill as pallas_ffill
     from .ops.pallas import gather as pallas_gather
     from .ops.pallas import scatter as pallas_scatter
 
+    ew = elems.shape[-1]
     oiota = jnp.arange(OUT, dtype=jnp.int32)
     if _on_tpu():
-        scattered, ovf = pallas_scatter.scatter_windowed(starts, vals, 3, OUT)
-        # Split pieces bound every fill gap at SPLIT_LEN: 5 fill levels,
+        scattered, ovf = pallas_scatter.scatter_windowed(
+            starts, vals, 3, OUT, wrows=_wrows(split_len))
+        # Split pieces bound every fill gap at split_len: few fill levels,
         # not log2(64K) = 16.
         filled = pallas_ffill.ffill_block(scattered != 0, scattered,
-                                          max_gap=SPLIT_LEN)[0]
+                                          max_gap=split_len)[0]
     else:
         ovf = jnp.int32(0)
         scattered = jnp.zeros(OUT + 1, jnp.int32).at[
             jnp.clip(starts, 0, OUT)].add(vals)[:OUT]
         filled = scan.ffill_many(scattered != 0, (scattered,))[0]
     slope = filled >> 17
-    g = jnp.clip(slope * oiota + (filled & 0x1FFFF) - OUT, 0, OUT - 1)
+    g = jnp.clip(slope * oiota + (filled & 0x1FFFF) - OUT, 0, ew - 1)
     if _on_tpu():
         out = pallas_gather.gather_block(elems.astype(jnp.int32), g, limbs=1)
     else:
@@ -261,16 +286,21 @@ def _decode_one(elems, starts, vals, ulen):
     return out, ovf == 0
 
 
-@jax.jit
-def decode_chunks_jit(elems, starts, vals, ulens):
-    """Batched sidecar decode: elems (B, 65536) u8 (element bytes, zero-
-    padded), starts/vals (B, PW) i32 (PW-padded with starts == 65536 =
-    dropped), ulens (B,) i32. Returns (out (B, 65536) u8, ok (B,))."""
-    return jax.vmap(_decode_one)(elems, starts, vals, ulens)
+@functools.partial(jax.jit, static_argnames=("split_len",))
+def decode_chunks_jit(elems, starts, vals, ulens,
+                      split_len: int = SPLIT_LEN):
+    """Batched sidecar decode: elems (B, EW) u8 (element bytes zero-padded
+    to an elems_width bucket), starts/vals (B, PW) i32 (PW-padded with
+    starts == 65536 = dropped), ulens (B,) i32. Returns
+    (out (B, 65536) u8, ok (B,))."""
+    return jax.vmap(
+        lambda e, s, v, u: _decode_one(e, s, v, u, split_len)
+    )(elems, starts, vals, ulens)
 
 
-@functools.partial(jax.jit, static_argnames=("wave",))
-def decode_corpus_sidecar(elems, starts, vals, ulens, wave: int = 8):
+@functools.partial(jax.jit, static_argnames=("wave", "split_len"))
+def decode_corpus_sidecar(elems, starts, vals, ulens, wave: int = 8,
+                          split_len: int = SPLIT_LEN):
     """Single-dispatch wave-mapped form (the decode_corpus sibling): one
     compiled program decodes any number of sidecar chunks."""
     nf = elems.shape[0]
@@ -280,5 +310,7 @@ def decode_corpus_sidecar(elems, starts, vals, ulens, wave: int = 8):
     vw = vals.reshape(nf // wave, wave, vals.shape[-1])
     uw = ulens.reshape(nf // wave, wave)
     out, ok = jax.lax.map(
-        lambda t: jax.vmap(_decode_one)(*t), (fw, sw, vw, uw))
+        lambda t: jax.vmap(
+            lambda e, s, v, u: _decode_one(e, s, v, u, split_len)
+        )(*t), (fw, sw, vw, uw))
     return out.reshape(nf, -1), ok.reshape(nf)
