@@ -129,6 +129,45 @@ def test_one_bad_fragment_splices_only_itself(monkeypatch):
     assert stats.waves >= 2  # the request genuinely spanned waves
 
 
+def test_framed_serving_roundtrip_and_interop():
+    from tpu_snappy import framing
+    payloads = [_text(150_000),
+                _rand(70_000, 9) + b"q" * 80_000]  # mixed + RLE chunk
+    with serving.CodecServer(wave=4, max_wait_ms=200) as srv:
+        futs = [srv.compress_framed(p, sidecar="auto") for p in payloads]
+        frames = [f.result(timeout=600) for f in futs]
+        backs = [srv.decompress_framed(fr).result(timeout=600)
+                 for fr in frames]
+        stats = srv.stats
+    for p, fr, b in zip(payloads, frames, backs):
+        assert b == p
+        # byte-identical to the framing module's one-shot container
+        assert fr == framing.compress(p, sidecar="auto")
+        # independent C++ framed decoder consumes it (sidecars skipped)
+        assert golden.uncompress_framed(fr, max_out=len(p) + 16) == p
+    assert stats.waves >= 1  # blocks genuinely rode device waves
+
+
+def test_framed_serving_corruption_raises():
+    with serving.CodecServer(wave=4, max_wait_ms=100) as srv:
+        fr = bytearray(srv.compress_framed(_text(70_000)).result(timeout=600))
+        # flip a payload byte inside the first compressed chunk
+        ip = 10  # skip stream id
+        while ip < len(fr):
+            typ = fr[ip]
+            ln = int.from_bytes(fr[ip + 1: ip + 4], "little")
+            if typ == 0x00:
+                fr[ip + 4 + 8] ^= 0xFF
+                break
+            ip += 4 + ln
+        with pytest.raises(ValueError):
+            srv.decompress_framed(bytes(fr)).result(timeout=600)
+        # and an uncompressed/empty stream settles inline
+        from tpu_snappy import framing
+        assert srv.decompress_framed(framing.STREAM_ID).result(
+            timeout=60) == b""
+
+
 def test_many_threads_submit():
     payloads = {i: _rand(65_536 + 137 * i, seed=i) for i in range(6)}
     results = {}

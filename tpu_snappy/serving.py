@@ -73,7 +73,10 @@ class ServerStats:
 
 
 class _Request:
-    """One caller request fanned out into `n` work units."""
+    """One caller request fanned out into `n` work units.
+
+    kind: 'enc'/'dec' (raw Snappy) or 'encf'/'decf' (framed container —
+    same device waves, container assembly at completion)."""
 
     def __init__(self, kind: str, n: int, total: int):
         self.kind = kind
@@ -87,6 +90,10 @@ class _Request:
         self.clens = None
         self.ulens = None
         self.oks = [True] * n  # decode: per-fragment device validation
+        self.raw = None      # framed encode: original bytes (CRCs/fallback)
+        self.lengths = None  # framed encode: per-block uncompressed sizes
+        self.sidecar = "off"  # framed encode: sidecar emission policy
+        self.chunks = None   # framed decode: parsed chunk descriptors
 
     def deliver(self, idx: int, part: bytes) -> bool:
         self.parts[idx] = part
@@ -202,6 +209,117 @@ class CodecServer:
             self._lock.notify_all()
         return req.future
 
+    def compress_framed(self, data: bytes, sidecar: str = "off") -> Future:
+        """Future[bytes]: framed container stream (framing_format.txt —
+        chunked, per-chunk CRC-32C). Blocks ride the SAME encode waves as
+        raw requests (one compiled graph serves both kinds); container
+        assembly — CRCs, compressed-vs-uncompressed chunk choice, optional
+        fast-decode sidecars (`sidecar` as in framing.compress) — happens
+        at completion."""
+        from . import framing
+
+        self._note_request()
+        if not data:
+            fut: Future = Future()
+            fut.set_result(framing.STREAM_ID)
+            return fut
+        blocks, lengths = api._to_blocks(data, framing.MAX_CHUNK)
+        req = _Request("encf", len(lengths), len(data))
+        req.raw, req.lengths, req.sidecar = data, lengths, sidecar
+        with self._lock:
+            self._ensure_open()
+            self._wait_capacity()
+            for i in range(len(lengths)):
+                self._q["enc"].append((req, i, blocks[i], int(lengths[i])))
+            self._lock.notify_all()
+        return req.future
+
+    def decompress_framed(self, framed: bytes) -> Future:
+        """Future[bytes]: decoded framed stream with full validation
+        (structure + every chunk CRC). Compressed chunks batch through the
+        same fragment waves as raw decode requests; sidecar chunks are
+        skipped here (the batcher keeps one decode graph — callers wanting
+        sidecar-speed framed decode use framing.decompress directly)."""
+        from . import framing
+
+        self._note_request()
+        try:
+            chunks = framing._parse_chunks(framed)
+        except ValueError as e:
+            fut: Future = Future()
+            fut.set_exception(e)
+            return fut
+        datach = [(t, framed[off: off + ln]) for t, off, ln in chunks
+                  if t in (framing.CHUNK_COMPRESSED,
+                           framing.CHUNK_UNCOMPRESSED)]
+        comp_units = []
+        for i, (t, body) in enumerate(datach):
+            if t != framing.CHUNK_COMPRESSED:
+                continue
+            try:
+                ulen, vstart = fmt.varint_decode(body[4:])
+            except ValueError as e:
+                fut = Future()
+                fut.set_exception(ValueError(f"chunk {i}: {e}"))
+                return fut
+            payload = body[4 + vstart:]
+            if ulen > framing.MAX_CHUNK:
+                fut = Future()
+                fut.set_exception(ValueError(
+                    "chunk uncompressed size exceeds 65536"))
+                return fut
+            comp_units.append((i, payload, len(payload), int(ulen)))
+        req = _Request("decf", max(1, len(comp_units)),
+                       sum(len(b) - 4 for _t, b in datach))
+        req.chunks = datach
+        if not comp_units:
+            # Uncompressed/empty stream: settle inline (CRCs still checked).
+            try:
+                self._resolve(req, self._assemble_framed(req))
+            except ValueError as e:
+                self._resolve(req, exc=e)
+            return req.future
+        req.oks = [True] * len(comp_units)
+        req.frags = [u[1] for u in comp_units]
+        req.clens = np.asarray([u[2] for u in comp_units], np.int32)
+        req.ulens = np.asarray([u[3] for u in comp_units], np.int32)
+        req.chunk_ids = [u[0] for u in comp_units]
+        with self._lock:
+            self._ensure_open()
+            self._wait_capacity()
+            for j, (_i, payload, cl, ul) in enumerate(comp_units):
+                self._q["dec"].append(
+                    (req, j, np.frombuffer(payload, np.uint8), cl, ul))
+            self._lock.notify_all()
+        return req.future
+
+    def _assemble_framed(self, req: _Request) -> bytes:
+        """Container assembly for framed requests (CRC verify everywhere;
+        device-flagged or CRC-mismatching compressed chunks re-decode on
+        the host — chunks are independent, so no cross-chunk context)."""
+        from . import framing, reference_codec
+
+        cid = {i: j for j, i in enumerate(getattr(req, "chunk_ids", []))}
+        out = []
+        for i, (t, body) in enumerate(req.chunks):
+            want = framing.unmask(int.from_bytes(body[:4], "little"))
+            if t == framing.CHUNK_UNCOMPRESSED:
+                piece = body[4:]
+            else:
+                j = cid[i]
+                piece = req.parts[j] if req.oks[j] else None
+                if piece is None or framing.crc32c(piece) != want:
+                    try:
+                        piece = reference_codec.decompress(body[4:])
+                    except ValueError as e:
+                        raise ValueError(f"chunk {i}: {e}") from e
+                    with self._lock:
+                        self.stats.spliced_fragments += 1
+            if framing.crc32c(piece) != want:
+                raise ValueError(f"chunk {i}: CRC-32C mismatch")
+            out.append(piece)
+        return b"".join(out)
+
     def close(self) -> None:
         """Drain the queues, then stop the batcher."""
         with self._lock:
@@ -316,8 +434,38 @@ class CodecServer:
         out_lens = np.asarray(out_lens)
         for j, (req, i, _row, _ln) in enumerate(units):
             if req.deliver(i, out[j, : out_lens[j]].tobytes()):
-                body = b"".join(req.parts)
-                self._resolve(req, fmt.varint_encode(req.total) + body)
+                if req.kind == "encf":
+                    self._resolve(req, self._assemble_framed_enc(req))
+                else:
+                    body = b"".join(req.parts)
+                    self._resolve(req, fmt.varint_encode(req.total) + body)
+
+    def _assemble_framed_enc(self, req: _Request) -> bytes:
+        """Framed container assembly from the wave-encoded element parts
+        (per-chunk CRC over the original bytes; the spec's uncompressed-
+        chunk rule where compression does not shrink; optional sidecars)."""
+        from . import framing
+
+        parts = [framing.STREAM_ID]
+        pos = 0
+        for i in range(len(req.lengths)):
+            blen = int(req.lengths[i])
+            raw = req.raw[pos: pos + blen]
+            crc = framing.crc32c(raw)
+            elems = req.parts[i]
+            payload = fmt.varint_encode(blen) + elems
+            if len(payload) < blen:
+                parts.append(framing._sidecar_chunk(elems, blen,
+                                                    req.sidecar))
+                body = framing.mask(crc).to_bytes(4, "little") + payload
+                parts.append(bytes([framing.CHUNK_COMPRESSED])
+                             + len(body).to_bytes(3, "little") + body)
+            else:
+                body = framing.mask(crc).to_bytes(4, "little") + raw
+                parts.append(bytes([framing.CHUNK_UNCOMPRESSED])
+                             + len(body).to_bytes(3, "little") + body)
+            pos += blen
+        return b"".join(parts)
 
     def _dispatch_decode(self, units):
         W = self._wave
@@ -342,7 +490,12 @@ class CodecServer:
                 req.failed = True
                 req.oks[i] = False
             if req.deliver(i, out[j, :ul].tobytes()):
-                if req.failed:
+                if req.kind == "decf":
+                    try:
+                        self._resolve(req, self._assemble_framed(req))
+                    except ValueError as e:
+                        self._resolve(req, exc=e)
+                elif req.failed:
                     self._settle_spliced(req)
                 else:
                     self._resolve(req, b"".join(req.parts))
