@@ -59,7 +59,7 @@ def test_roundtrip_random_seeds(seed, n):
     assert len(comp) <= len(data) + 8
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=6, deadline=None)
 @given(structured_bytes())
 def test_sidecar_framed_fuzz(data):
     """Framed sidecar property: for arbitrary structures, always-emitted

@@ -68,39 +68,54 @@ def test_python_fallback_matches_native():
             assert (np.asarray(x) == np.asarray(y)).all(), name
 
 
-@pytest.mark.parametrize("name,data", _classes())
-def test_device_sidecar_decode(name, data):
-    # Own-encoder stream through the full device path (interpret on CPU).
-    comp = api.compress(data, small_fastpath=False)
-    total, start = fmt.varint_decode(comp)
-    elems = comp[start:]
-    if len(elems) >= sidecar.OUT:
-        pytest.skip("multi-fragment stream; framed tests cover chunking")
-    payload = sidecar.build(elems, total)
-    assert payload is not None
-    parsed = sidecar.parse(payload)
-    assert parsed is not None
-    s2, vals = sidecar.split_for_device(*parsed, total)
-    pw = sidecar.pieces_width(len(s2))
-    S = np.full((1, pw), sidecar.OUT, np.int32)
-    V = np.zeros((1, pw), np.int32)
-    S[0, : len(s2)] = s2
-    V[0, : len(vals)] = vals
-    E = np.zeros((1, sidecar.OUT), np.uint8)
-    E[0, : len(elems)] = np.frombuffer(elems, np.uint8)
-    out, ok = sidecar.decode_chunks_jit(E, S, V,
-                                        np.asarray([total], np.int32))
-    assert bool(np.asarray(ok)[0])
-    assert np.asarray(out)[0, :total].tobytes() == data
+def test_device_sidecar_decode_all_classes():
+    # Own-encoder streams of every corpus class through the full device
+    # path (interpret on CPU), batched at ONE common width — a single
+    # compiled graph covers all classes (per-class calls would compile a
+    # graph per (PW, EW) shape pair).
+    jobs = []
+    for name, data in _classes():
+        comp = api.compress(data, small_fastpath=False)
+        total, start = fmt.varint_decode(comp)
+        elems = comp[start:]
+        if len(elems) >= sidecar.OUT:
+            continue  # multi-fragment; framed tests cover chunking
+        payload = sidecar.build(elems, total)
+        assert payload is not None, name
+        parsed = sidecar.parse(payload)
+        assert parsed is not None, name
+        s2, vals = sidecar.split_for_device(*parsed, total)
+        jobs.append((name, data, elems, total, s2, vals))
+    assert len(jobs) >= 4
+    B = len(jobs)
+    pw = sidecar.pieces_width(max(len(j[4]) for j in jobs))
+    ew = sidecar.elems_width(max(len(j[2]) for j in jobs))
+    S = np.full((B, pw), sidecar.OUT, np.int32)
+    V = np.zeros((B, pw), np.int32)
+    E = np.zeros((B, ew), np.uint8)
+    U = np.zeros(B, np.int32)
+    for j, (_n, _d, elems, total, s2, vals) in enumerate(jobs):
+        E[j, : len(elems)] = np.frombuffer(elems, np.uint8)
+        S[j, : len(s2)] = s2
+        V[j, : len(vals)] = vals
+        U[j] = total
+    out, ok = sidecar.decode_chunks_jit(E, S, V, U)
+    out, ok = np.asarray(out), np.asarray(ok)
+    for j, (name, data, _e, total, _s, _v) in enumerate(jobs):
+        assert bool(ok[j]), name
+        assert out[j, :total].tobytes() == data, name
 
 
 def _mix():
+    # One chunk of each class (text-ish / RLE / random / corpus text) —
+    # multi-chunk with every sidecar regime, small enough that the CPU
+    # device-path encodes in one wave.
     rng = np.random.default_rng(3)
-    mix = (b"the cat sat on the mat and the dog sat on the log " * 2000
-           + b"z" * 70000
-           + rng.integers(0, 256, 70000, dtype=np.uint8).tobytes())
+    mix = (b"the cat sat on the mat and the dog sat on the log " * 1100
+           + b"z" * 50000
+           + rng.integers(0, 256, 40000, dtype=np.uint8).tobytes())
     if corpus.has_reference_corpus():
-        mix += corpus.load("all-mtg-cards.txt")[:70000]
+        mix += corpus.load("all-mtg-cards.txt")[:40000]
     return mix
 
 
