@@ -215,6 +215,31 @@ def test_truncated_sidecar_is_ignored():
     assert framing.decompress(bytes(out)) == mix
 
 
+def test_adversarial_sidecar_payloads_never_corrupt():
+    # Hardening: arbitrary bytes in a 0x80 chunk must never crash the
+    # parser or corrupt output — parse() rejects or the CRC gate catches.
+    rng = np.random.default_rng(99)
+    data = b"the quick brown fox " * 600
+    fr = framing.compress(data, sidecar="off")
+    body = fr[len(framing.STREAM_ID):]
+    for n in (0, 1, 7, 8, 37, 1000):
+        junk = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        evil = (framing.STREAM_ID + bytes([framing.CHUNK_SIDECAR])
+                + n.to_bytes(3, "little") + junk + body)
+        assert framing.decompress(evil) == data
+    # well-formed header + garbage piece tables (ascending starts forced)
+    for p in (1, 5, 200):
+        starts = np.sort(rng.choice(60000, p, replace=False)).astype("<u2")
+        starts[0] = 0
+        roots = rng.integers(0, 65536, p).astype("<u2")
+        slopes = np.packbits(rng.integers(0, 2, p).astype(bool)).tobytes()
+        payload = (b"tpS1" + np.uint32(p).tobytes() + starts.tobytes()
+                   + roots.tobytes() + slopes)
+        evil = (framing.STREAM_ID + bytes([framing.CHUNK_SIDECAR])
+                + len(payload).to_bytes(3, "little") + payload + body)
+        assert framing.decompress(evil) == data  # CRC gate -> fallback
+
+
 def test_corrupt_data_chunk_still_raises():
     mix = _mix()
     fr = bytearray(framing.compress(mix, sidecar="always"))
