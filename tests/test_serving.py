@@ -138,6 +138,10 @@ def test_framed_serving_roundtrip_and_interop():
         frames = [f.result(timeout=600) for f in futs]
         backs = [srv.decompress_framed(fr).result(timeout=600)
                  for fr in frames]
+        # sidecar="always": every compressed chunk rides the sidecar wave
+        fr_sc = srv.compress_framed(payloads[0],
+                                    sidecar="always").result(timeout=600)
+        back_sc = srv.decompress_framed(fr_sc).result(timeout=600)
         stats = srv.stats
     for p, fr, b in zip(payloads, frames, backs):
         assert b == p
@@ -145,7 +149,10 @@ def test_framed_serving_roundtrip_and_interop():
         assert fr == framing.compress(p, sidecar="auto")
         # independent C++ framed decoder consumes it (sidecars skipped)
         assert golden.uncompress_framed(fr, max_out=len(p) + 16) == p
+    assert back_sc == payloads[0]
+    assert fr_sc == framing.compress(payloads[0], sidecar="always")
     assert stats.waves >= 1  # blocks genuinely rode device waves
+    assert stats.spliced_fragments == 0  # sidecar path passed CRC cleanly
 
 
 def test_framed_serving_corruption_raises():

@@ -125,9 +125,11 @@ class CodecServer:
         self._max_wait = max_wait_ms / 1e3
         self._max_pending = max_pending
         self._lock = threading.Condition()
-        # Separate queues per kind: encode and decode graphs differ, so a
-        # wave is single-kind. Entries: (request, unit_idx, *unit data).
-        self._q: dict[str, deque] = {"enc": deque(), "dec": deque()}
+        # Separate queues per kind: the encode, decode, and sidecar-decode
+        # graphs differ, so a wave is single-kind. Entries:
+        # (request, unit_idx, *unit data).
+        self._q: dict[str, deque] = {"enc": deque(), "dec": deque(),
+                                     "scd": deque()}
         self._closing = False
         self.stats = ServerStats()
         import jax
@@ -237,10 +239,12 @@ class CodecServer:
     def decompress_framed(self, framed: bytes) -> Future:
         """Future[bytes]: decoded framed stream with full validation
         (structure + every chunk CRC). Compressed chunks batch through the
-        same fragment waves as raw decode requests; sidecar chunks are
-        skipped here (the batcher keeps one decode graph — callers wanting
-        sidecar-speed framed decode use framing.decompress directly)."""
+        same fragment waves as raw decode requests; chunks carrying a
+        usable fast-decode sidecar take the sidecar wave kind instead
+        (scatter+ffill+gather — the 4.3x path), with the chunk CRC gating
+        the result either way."""
         from . import framing
+        from . import sidecar as sc
 
         self._note_request()
         try:
@@ -249,10 +253,22 @@ class CodecServer:
             fut: Future = Future()
             fut.set_exception(e)
             return fut
-        datach = [(t, framed[off: off + ln]) for t, off, ln in chunks
-                  if t in (framing.CHUNK_COMPRESSED,
-                           framing.CHUNK_UNCOMPRESSED)]
-        comp_units = []
+        datach = []   # (type, body) data chunks, in order
+        side = []     # parallel: sidecar payload bytes or None
+        pending = None
+        for t, off, ln in chunks:
+            body = framed[off: off + ln]
+            if t == framing.CHUNK_SIDECAR:
+                pending = body
+            elif t == framing.CHUNK_COMPRESSED:
+                datach.append((t, body))
+                side.append(pending)
+                pending = None
+            elif t == framing.CHUNK_UNCOMPRESSED:
+                datach.append((t, body))
+                side.append(None)
+                pending = None
+        dec_units, scd_units = [], []
         for i, (t, body) in enumerate(datach):
             if t != framing.CHUNK_COMPRESSED:
                 continue
@@ -268,28 +284,39 @@ class CodecServer:
                 fut.set_exception(ValueError(
                     "chunk uncompressed size exceeds 65536"))
                 return fut
-            comp_units.append((i, payload, len(payload), int(ulen)))
-        req = _Request("decf", max(1, len(comp_units)),
+            sv = None
+            if side[i] is not None and 0 < ulen and len(payload) < sc.OUT:
+                parsed = sc.parse(side[i])
+                if parsed is not None:
+                    sv = sc.split_for_device(*parsed, int(ulen))
+            if sv is not None:
+                scd_units.append((i, payload, int(ulen), sv[0], sv[1]))
+            else:
+                dec_units.append((i, payload, len(payload), int(ulen)))
+        n_units = len(dec_units) + len(scd_units)
+        req = _Request("decf", max(1, n_units),
                        sum(len(b) - 4 for _t, b in datach))
         req.chunks = datach
-        if not comp_units:
+        if n_units == 0:
             # Uncompressed/empty stream: settle inline (CRCs still checked).
             try:
                 self._resolve(req, self._assemble_framed(req))
             except ValueError as e:
                 self._resolve(req, exc=e)
             return req.future
-        req.oks = [True] * len(comp_units)
-        req.frags = [u[1] for u in comp_units]
-        req.clens = np.asarray([u[2] for u in comp_units], np.int32)
-        req.ulens = np.asarray([u[3] for u in comp_units], np.int32)
-        req.chunk_ids = [u[0] for u in comp_units]
+        req.oks = [True] * n_units
+        req.chunk_ids = ([u[0] for u in dec_units]
+                         + [u[0] for u in scd_units])
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
-            for j, (_i, payload, cl, ul) in enumerate(comp_units):
+            for j, (_i, payload, cl, ul) in enumerate(dec_units):
                 self._q["dec"].append(
                     (req, j, np.frombuffer(payload, np.uint8), cl, ul))
+            for j, (_i, payload, ul, s2, vals) in enumerate(scd_units):
+                self._q["scd"].append(
+                    (req, len(dec_units) + j,
+                     np.frombuffer(payload, np.uint8), ul, s2, vals))
             self._lock.notify_all()
         return req.future
 
@@ -348,7 +375,7 @@ class CodecServer:
         max_pending (called under self._lock)."""
         if self._max_pending is None:
             return
-        while (len(self._q["enc"]) + len(self._q["dec"])
+        while (sum(len(q) for q in self._q.values())
                >= self._max_pending):
             if self._closing:
                 raise RuntimeError("CodecServer is closed")
@@ -378,11 +405,11 @@ class CodecServer:
         with self._lock:
             while True:
                 kind = None
-                if self._q["enc"] or self._q["dec"]:
-                    # Serve the kind whose head has waited longest — both
+                if any(self._q.values()):
+                    # Serve the kind whose head has waited longest — the
                     # queues carry arrival timestamps implicitly via FIFO;
-                    # alternate fairly by preferring the longer queue.
-                    kind = max(("enc", "dec"), key=lambda k: len(self._q[k]))
+                    # alternate fairly by preferring the longest queue.
+                    kind = max(self._q, key=lambda k: len(self._q[k]))
                     if len(self._q[kind]) >= self._wave:
                         break
                     now = time.monotonic()
@@ -415,6 +442,8 @@ class CodecServer:
             try:
                 if kind == "enc":
                     self._dispatch_encode(units)
+                elif kind == "scd":
+                    self._dispatch_sidecar(units)
                 else:
                     self._dispatch_decode(units)
             except Exception as e:  # device-level failure: fail the wave
@@ -499,6 +528,38 @@ class CodecServer:
                     self._settle_spliced(req)
                 else:
                     self._resolve(req, b"".join(req.parts))
+
+    def _dispatch_sidecar(self, units):
+        """Sidecar fast-decode wave: units are framed chunks whose 0x80
+        sidecar parsed + split cleanly. Shapes bucket per wave (piece and
+        element widths), so the graph count stays bounded; a False ok (or
+        a CRC mismatch at assembly) routes the chunk to the host in
+        _assemble_framed — the sidecar stays a pure hint."""
+        from . import sidecar as sc
+
+        W = len(units)
+        pw = sc.pieces_width(max(len(u[4]) for u in units))
+        ew = sc.elems_width(max(len(u[2]) for u in units))
+        E = np.zeros((W, ew), np.uint8)
+        S = np.full((W, pw), sc.OUT, np.int32)
+        V = np.zeros((W, pw), np.int32)
+        U = np.zeros(W, np.int32)
+        for j, (_req, _i, payload, ul, s2, vals) in enumerate(units):
+            E[j, : len(payload)] = payload[:ew]
+            S[j, : len(s2)] = s2
+            V[j, : len(vals)] = vals
+            U[j] = ul
+        out, ok = sc.decode_chunks_jit(E, S, V, U)
+        out, ok = np.asarray(out), np.asarray(ok)
+        for j, (req, i, _payload, ul, _s2, _vals) in enumerate(units):
+            if not ok[j]:
+                req.failed = True
+                req.oks[i] = False
+            if req.deliver(i, out[j, :ul].tobytes()):
+                try:
+                    self._resolve(req, self._assemble_framed(req))
+                except ValueError as e:
+                    self._resolve(req, exc=e)
 
     def _settle_spliced(self, req: _Request):
         """Fragment-granular host fallback: splice the ok fragments'
