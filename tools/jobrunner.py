@@ -71,7 +71,10 @@ def main():
         with open(outp, "w") as f:
             f.write(buf.getvalue())
             f.write(f"\n[{'OK' if ok else 'FAIL'} in {dt:.1f}s]\n")
-        os.rename(path, path[:-3] + (".done" if ok else ".fail"))
+        try:
+            os.rename(path, path[:-3] + (".done" if ok else ".fail"))
+        except FileNotFoundError:
+            pass  # job file removed mid-run; results are in the .out
         print(f"finished {name}: {'OK' if ok else 'FAIL'} in {dt:.1f}s",
               flush=True)
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 S = 64  # segment width == MAX_COPY_LEN; the encode invariant jump <= S
 
 
-def gather_s(maps: jax.Array, idx: jax.Array) -> jax.Array:
+def gather_s(maps: jax.Array, idx: jax.Array, small: bool = False) -> jax.Array:
     """Within-segment gather y[..., g, t] = maps[..., g, idx[..., g, t]].
 
     TPU has no vector-gather unit; XLA lowers take_along_axis to a ~700us/
@@ -40,10 +40,15 @@ def gather_s(maps: jax.Array, idx: jax.Array) -> jax.Array:
     f32 einsum exactly for the value ranges here (verified on-chip: decode
     exit states beyond 2^8 round-trip bit-exactly; a 64-way select chain was
     tried instead and measured 3x slower due to 64-lane column broadcasts).
-    """
+
+    small=True feeds the one-hot AND the maps as bf16 — exact only when
+    every map value < 256 (the ENCODE commit invariant: jump <= 64 bounds
+    exit states at 127), and halves the HBM traffic of the map rounds,
+    which are the commit stage's dominant cost."""
+    dt = jnp.bfloat16 if small else jnp.float32
     oh = (idx[..., :, :, None] ==
-          jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)).astype(jnp.float32)
-    out = jnp.einsum("...ts,...s->...t", oh, maps.astype(jnp.float32),
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)).astype(dt)
+    out = jnp.einsum("...ts,...s->...t", oh, maps.astype(dt),
                      preferred_element_type=jnp.float32)
     return out.astype(maps.dtype)
 
@@ -84,12 +89,15 @@ def next_element_start(flags: jax.Array, default: int) -> jax.Array:
     return out.at[..., -1].set(jnp.int32(default))
 
 
-def segment_exit_maps(jump: jax.Array) -> jax.Array:
+def segment_exit_maps(jump: jax.Array, bounded: bool = False) -> jax.Array:
     """Within-segment chase tables.
 
     jump: (..., N) int32, every entry >= 1. Returns (..., N//S, S) exit maps:
     entry state d in [0, S) -> exit state (distance past segment end, >= 0;
     values >= S occur when a single jump overshoots the next segment).
+    bounded=True asserts the encode invariant jump <= S, so every chase
+    value stays < 2S = 128 and the map rounds run bf16 (gather_s small
+    path — exact below 256, half the HBM traffic).
     """
     n = jump.shape[-1]
     seg = jump.reshape(*jump.shape[:-1], n // S, S)
@@ -99,7 +107,7 @@ def segment_exit_maps(jump: jax.Array) -> jax.Array:
     # min jump 1 => at most S hops => 6 rounds suffice.
     for _ in range(6):
         idx = jnp.clip(t, 0, S - 1)
-        t = jnp.where(t >= S, t, gather_s(t, idx))
+        t = jnp.where(t >= S, t, gather_s(t, idx, small=bounded))
     return t - S
 
 
@@ -252,7 +260,7 @@ def commit_bounded(jump: jax.Array, sequential: bool = False) -> jax.Array:
     while the sequential steps are S-wide take_along_axis — measured 0.23
     vs 0.27 ms/block on v5e (same job, both directions repeated).
     """
-    maps = segment_exit_maps(jump)
+    maps = segment_exit_maps(jump, bounded=True)
     if sequential:
         return committed_from_entries(jump, entry_states_sequential(maps))
     return committed_from_entries(jump, entry_states_bounded(maps))
