@@ -45,6 +45,26 @@ def test_block_boundary_sizes():
         certify(data)
 
 
+def test_fast_config_roundtrips_exactly():
+    # FAST_CONFIG trades per-file ratio bars for encode speed, NEVER
+    # correctness: bit-exact round-trips through both goldens, and the
+    # aggregate text ratio stays under software Snappy.
+    from tpu_snappy.config import FAST_CONFIG
+    datas = [corpus.load("fox-in-socks.txt") * 3,
+             b"ab" * 40000,
+             np.random.default_rng(2).integers(
+                 0, 256, 70000, dtype=np.uint8).tobytes()]
+    if corpus.has_reference_corpus():
+        datas.append(corpus.load("all-mtg-cards.txt")[:3 * fmt.BLOCK_SIZE])
+    for data in datas:
+        comp = api.compress(data, FAST_CONFIG, small_fastpath=False)
+        assert golden.uncompress(comp) == data
+        assert api.decompress(comp, small_fastpath=False) == data
+    if corpus.has_reference_corpus():
+        gold = golden.compress(datas[-1])
+        assert len(comp) <= len(gold)  # aggregate-text bar holds at K=8
+
+
 def test_device_compaction_matches_join():
     # compact_blocks must reproduce the per-block host join exactly
     # (api.compress/shard/streaming all assemble from the dense form now).

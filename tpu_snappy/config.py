@@ -117,3 +117,17 @@ class CodecConfig:
 
 
 DEFAULT_CONFIG = CodecConfig()
+
+#: Speed-over-ratio encode preset (the encode mirror of the framed
+#: sidecar's size-for-decode-speed trade; like zstd's negative levels,
+#: an explicit opt-in). K=8 shrinks the restore-sort payload from 8 to 5
+#: operands and the sticky membership work ~3x. Measured on v5e
+#: (mtg corpus, 24-wide): **0.198 GB/s vs 0.164 (+21%)**, aggregate text
+#: ratio still UNDER software Snappy (x0.9941), but the per-file bars the
+#: default holds strictly are traded away: alignerTestData +31 B (+17%),
+#: real-50000 +153 B (+0.7%), real-10000 +180 B (+4.9%), random +1 B.
+#: Round-trips stay bit-exact (correctness is never traded). Sweep points
+#: (tools/jobs_archive/r3/r3_fastprof): K=10 -> 0.186 at x0.9811 (only
+#: aligner/random/real-10000 over, by less); lazy=0/sig variants measured
+#: not worth their ratio cost.
+FAST_CONFIG = CodecConfig(candidates=8, probes=8)
