@@ -141,6 +141,32 @@ def main():
     enc_gbps = n * ITERS / dt / 1e9
     log(f"encode: {ITERS} x {n/1e6:.1f} MB in {dt:.3f}s -> {enc_gbps:.3f} GB/s/chip")
 
+    # FAST_CONFIG point (the documented speed-over-ratio preset).
+    fast_gbps = fast_ratio = None
+    try:
+        from tpu_snappy.config import FAST_CONFIG
+        encf = jax.jit(lambda b, l: ops_encode.encode_corpus(
+            b, l, FAST_CONFIG, wave=ENC_WAVE))
+        outf, lensf = [np.asarray(x) for x in encf(blocks_d, lens_d)]
+        compf = fmt.varint_encode(n) + b"".join(
+            outf[i, : lensf[i]].tobytes() for i in range(nblocks))
+        fast_rt = golden.uncompress(compf) == data
+        for _ in range(2):
+            last = encf(blocks_d, lens_d)[1]
+        np.asarray(jnp.ravel(last)[0])
+        t0 = time.time()
+        for _ in range(ITERS):
+            last = encf(blocks_d, lens_d)[1]
+        np.asarray(jnp.ravel(last)[0])
+        fast_gbps = n * ITERS / (time.time() - t0) / 1e9
+        fast_ratio = round(len(compf) / gsize, 4)
+        log(f"encode FAST_CONFIG: {fast_gbps:.3f} GB/s/chip "
+            f"(ratio x{fast_ratio} vs snappy, rt={fast_rt})")
+        if not fast_rt:
+            fast_gbps = None
+    except Exception as e:
+        log(f"fast-profile bench unavailable: {e}")
+
     # Sustained (in-graph) rate: one dispatch running R corpus passes in a
     # lax.fori_loop — removes the per-program launch overhead (~48 us/block
     # measured on the tunneled chip) that back-to-back dispatches pay.
@@ -360,6 +386,8 @@ def main():
         "e2e_fetch_tail_ms": round(t_fetch * 1e3, 2),
         "encode_sustained_GBps": round(sus_gbps, 4),
         "decode_sustained_GBps": round(dec_sus_gbps, 4),
+        "encode_fast_GBps": round(fast_gbps, 4) if fast_gbps else None,
+        "encode_fast_ratio_vs_snappy": fast_ratio,
         "decode_foreign_GBps": round(foreign_gbps, 4) if foreign_gbps else None,
         "decode_sidecar_GBps": round(sidecar_gbps, 4) if sidecar_gbps else None,
         "sidecar_overhead_vs_payload": round(sidecar_frac, 4)

@@ -40,6 +40,16 @@ def test_cli_framed(sample, tmp_path):
     assert back.read_bytes() == sample.read_bytes()
 
 
+def test_cli_fast_and_sidecar(sample, tmp_path):
+    comp, back = tmp_path / "o.sz", tmp_path / "o.txt"
+    assert main(["roundtrip", str(sample), "--fast"]) == 0
+    assert main(["compress", str(sample), str(comp), "--framed",
+                 "--sidecar", "always", "--fast"]) == 0
+    assert framing.decompress(comp.read_bytes()) == sample.read_bytes()
+    assert main(["decompress", str(comp), str(back), "--framed"]) == 0
+    assert back.read_bytes() == sample.read_bytes()
+
+
 def test_cli_hadoop(sample, tmp_path):
     comp, back = tmp_path / "o.snappy", tmp_path / "o.txt"
     assert main(["compress", str(sample), str(comp), "--hadoop"]) == 0
