@@ -50,12 +50,12 @@ def test_fast_config_roundtrips_exactly():
     # correctness: bit-exact round-trips through both goldens, and the
     # aggregate text ratio stays under software Snappy.
     from tpu_snappy.config import FAST_CONFIG
-    datas = [corpus.load("fox-in-socks.txt") * 3,
-             b"ab" * 40000,
-             np.random.default_rng(2).integers(
-                 0, 256, 70000, dtype=np.uint8).tobytes()]
+    datas = [corpus.load("fox-in-socks.txt") * 3
+             + b"ab" * 20000
+             + np.random.default_rng(2).integers(
+                 0, 256, 30000, dtype=np.uint8).tobytes()]
     if corpus.has_reference_corpus():
-        datas.append(corpus.load("all-mtg-cards.txt")[:3 * fmt.BLOCK_SIZE])
+        datas.append(corpus.load("all-mtg-cards.txt")[:2 * fmt.BLOCK_SIZE])
     for data in datas:
         comp = api.compress(data, FAST_CONFIG, small_fastpath=False)
         assert golden.uncompress(comp) == data
@@ -88,7 +88,7 @@ def test_wave_override_identical_streams():
     # change a single output byte, and decode must accept any wave too.
     rng = np.random.default_rng(11)
     base = rng.integers(65, 91, 3000, dtype=np.uint8).tobytes()
-    data = (base * 80)[: 3 * fmt.BLOCK_SIZE + 777]
+    data = (base * 60)[: 2 * fmt.BLOCK_SIZE + 777]
     ref = api.compress(data)
     c1 = api.compress(data, wave=1)
     assert c1 == ref
