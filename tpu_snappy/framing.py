@@ -64,9 +64,18 @@ _T = _make_tables()
 
 
 def crc32c(data: bytes | np.ndarray) -> int:
-    """CRC-32C of one buffer (unmasked)."""
-    arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(1, -1)
-    return int(crc32c_batch(arr)[0])
+    """CRC-32C of one buffer (unmasked).
+
+    Single-buffer checksums route through the native slice-by-8 C path
+    (~20 us / 64 KB): the numpy batch form below amortizes its python
+    word loop across MANY rows, but degenerates to ~200 ms on a batch of
+    one — measured; the decode path verifies one piece at a time."""
+    try:
+        from .native import golden
+        return golden.crc32c(bytes(data))
+    except (ImportError, OSError, RuntimeError):
+        arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(1, -1)
+        return int(crc32c_batch(arr)[0])
 
 
 def crc32c_batch(rows: np.ndarray) -> np.ndarray:
