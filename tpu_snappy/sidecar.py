@@ -215,16 +215,16 @@ def split_for_device(starts, roots, slopes, ulen: int,
     total = int(nsub.sum())
     if total > MAX_PIECES:
         return None
-    base = np.repeat(starts, nsub)
-    # offset of each sub-piece within its parent: global index minus the
-    # parent's first sub-index, times split_len
-    first = np.repeat(np.cumsum(nsub) - nsub, nsub)
-    sub = (np.arange(total) - first) * split_len
-    s2 = base + sub
-    sl2 = np.repeat(slopes, nsub)
-    r2 = np.repeat(roots, nsub) + sl2 * sub
-    # scatter value: slope in bit 17, (root - slope*start + 2^16) below
-    vals = (sl2 << 17) | (r2 - sl2 * s2 + OUT)
+    # Sub-piece starts: parent start + (index within parent) * split_len.
+    first = np.cumsum(nsub) - nsub
+    sub = (np.arange(total) - np.repeat(first, nsub)) * split_len
+    s2 = np.repeat(starts, nsub) + sub
+    # Scatter value: slope in bit 17, (root - slope*start + 2^16) below.
+    # Every sub-piece of an affine piece shares its parent's affine
+    # parameters — (root + slope*sub) - slope*(start + sub) telescopes to
+    # root - slope*start — so the values are ONE np.repeat of the parent
+    # values, no per-sub arithmetic.
+    vals = np.repeat((slopes << 17) | (roots - slopes * starts + OUT), nsub)
     return s2.astype(np.int32), vals.astype(np.int32)
 
 
