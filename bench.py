@@ -330,18 +330,7 @@ def main():
             side_bytes += len(payload) + 4
             s2, vals = sc.split_for_device(*sc.parse(payload), int(ulens[i]))
             jobs.append((elems, int(ulens[i]), s2, vals))
-        pw = max(sc.pieces_width(len(j[2])) for j in jobs)
-        ew = sc.elems_width(max(len(j[0]) for j in jobs))
-        npad = nf + (-nf % DEC_WAVE)
-        E = np.zeros((npad, ew), np.uint8)
-        S = np.full((npad, pw), sc.OUT, np.int32)
-        V = np.zeros((npad, pw), np.int32)
-        U = np.zeros(npad, np.int32)
-        for j, (elems, ulen_j, s2, vals) in enumerate(jobs):
-            E[j, : len(elems)] = np.frombuffer(elems, np.uint8)
-            S[j, : len(s2)] = s2
-            V[j, : len(vals)] = vals
-            U[j] = ulen_j
+        E, S, V, U = sc.pack_batch(jobs, pad_rows=-nf % DEC_WAVE)
         sfn = jax.jit(lambda e, s, v, u: sc.decode_corpus_sidecar(
             e, s, v, u, wave=DEC_WAVE))
         Ed, Sd, Vd, Ud = map(jax.device_put, (E, S, V, U))

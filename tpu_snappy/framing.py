@@ -367,17 +367,8 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
         return rest
 
     B = len(jobs)
-    pw = sc.pieces_width(max(len(j[3]) for j in jobs))
-    ew = sc.elems_width(max(len(j[1]) for j in jobs))
-    E = np.zeros((B, ew), np.uint8)
-    S = np.full((B, pw), sc.OUT, np.int32)
-    V = np.zeros((B, pw), np.int32)
-    U = np.zeros(B, np.int32)
-    for j, (_i, elems, ulen, starts, vals) in enumerate(jobs):
-        E[j, : len(elems)] = np.frombuffer(elems, np.uint8)
-        S[j, : len(starts)] = starts
-        V[j, : len(vals)] = vals
-        U[j] = ulen
+    units = [(elems, ulen, starts, vals)
+             for _i, elems, ulen, starts, vals in jobs]
     if mesh is not None:
         import jax
 
@@ -386,24 +377,18 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
         per_dev = -(-B // ndev)
         wave = min(shard.DP_WAVE, per_dev)
         padded = (-(-per_dev // wave) * wave) * ndev
+        E, S, V, U = sc.pack_batch(units, pad_rows=padded - B)
         bs, ss = meshlib.block_sharding(mesh), meshlib.scalar_sharding(mesh)
         out, ok = shard._decode_sidecar_fn(mesh, "dp", wave)(
-            jax.device_put(np.pad(E, ((0, padded - B), (0, 0))), bs),
-            jax.device_put(np.pad(S, ((0, padded - B), (0, 0)),
-                                  constant_values=sc.OUT), bs),
-            jax.device_put(np.pad(V, ((0, padded - B), (0, 0))), bs),
-            jax.device_put(np.pad(U, (0, padded - B)), ss))
+            jax.device_put(E, bs), jax.device_put(S, bs),
+            jax.device_put(V, bs), jax.device_put(U, ss))
         out, ok = shard.fetch_global(out)[:B], np.asarray(ok)[:B]
     elif B > api.API_WAVE:
-        pad = -B % api.API_WAVE
-        out, ok = sc.decode_corpus_sidecar(
-            np.pad(E, ((0, pad), (0, 0))),
-            np.pad(S, ((0, pad), (0, 0)), constant_values=sc.OUT),
-            np.pad(V, ((0, pad), (0, 0))), np.pad(U, (0, pad)),
-            wave=api.API_WAVE)
+        E, S, V, U = sc.pack_batch(units, pad_rows=-B % api.API_WAVE)
+        out, ok = sc.decode_corpus_sidecar(E, S, V, U, wave=api.API_WAVE)
         out, ok = np.asarray(out)[:B], np.asarray(ok)[:B]
     else:
-        out, ok = sc.decode_chunks_jit(E, S, V, U)
+        out, ok = sc.decode_chunks_jit(*sc.pack_batch(units))
         out, ok = np.asarray(out), np.asarray(ok)
     for j, (i, _elems, ulen, _s, _v) in enumerate(jobs):
         piece = out[j, :ulen].tobytes()

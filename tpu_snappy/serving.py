@@ -537,19 +537,8 @@ class CodecServer:
         _assemble_framed — the sidecar stays a pure hint."""
         from . import sidecar as sc
 
-        W = len(units)
-        pw = sc.pieces_width(max(len(u[4]) for u in units))
-        ew = sc.elems_width(max(len(u[2]) for u in units))
-        E = np.zeros((W, ew), np.uint8)
-        S = np.full((W, pw), sc.OUT, np.int32)
-        V = np.zeros((W, pw), np.int32)
-        U = np.zeros(W, np.int32)
-        for j, (_req, _i, payload, ul, s2, vals) in enumerate(units):
-            E[j, : len(payload)] = payload[:ew]
-            S[j, : len(s2)] = s2
-            V[j, : len(vals)] = vals
-            U[j] = ul
-        out, ok = sc.decode_chunks_jit(E, S, V, U)
+        out, ok = sc.decode_chunks_jit(*sc.pack_batch(
+            [(u[2].tobytes(), u[3], u[4], u[5]) for u in units]))
         out, ok = np.asarray(out), np.asarray(ok)
         for j, (req, i, _payload, ul, _s2, _vals) in enumerate(units):
             if not ok[j]:

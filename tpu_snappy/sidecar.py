@@ -243,6 +243,27 @@ def elems_width(max_elems: int) -> int:
     return int(min(max(b, -(-max_elems // b) * b), OUT))
 
 
+def pack_batch(jobs, pad_rows: int = 0):
+    """Batch device arrays from per-chunk jobs (elems bytes, ulen, starts,
+    vals) at the shared bucketed widths — the one packing used by
+    framing, serving, and the benches. Returns (E, S, V, U) with
+    len(jobs) + pad_rows rows; padding rows carry starts == OUT (dropped
+    by the scatter) and ulen 0."""
+    B = len(jobs)
+    pw = pieces_width(max(len(j[2]) for j in jobs))
+    ew = elems_width(max(len(j[0]) for j in jobs))
+    E = np.zeros((B + pad_rows, ew), np.uint8)
+    S = np.full((B + pad_rows, pw), OUT, np.int32)
+    V = np.zeros((B + pad_rows, pw), np.int32)
+    U = np.zeros(B + pad_rows, np.int32)
+    for j, (elems, ulen, starts, vals) in enumerate(jobs):
+        E[j, : len(elems)] = np.frombuffer(elems, np.uint8)
+        S[j, : len(starts)] = starts
+        V[j, : len(vals)] = vals
+        U[j] = ulen
+    return E, S, V, U
+
+
 # ---- decoder side (device half) ----
 
 def _on_tpu() -> bool:
