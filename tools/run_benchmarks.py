@@ -47,11 +47,18 @@ def main():
     ap.add_argument("--outdir", default="results")
     ap.add_argument("--skip-device", action="store_true",
                     help="api-path rows only (no device-forced sweep)")
+    ap.add_argument("--fast", action="store_true",
+                    help="sweep with config.FAST_CONFIG (speed-over-ratio "
+                         "preset); CSVs get a _fast suffix")
     args = ap.parse_args()
 
     from tpu_snappy import api
+    from tpu_snappy.config import DEFAULT_CONFIG, FAST_CONFIG
     from tpu_snappy.native import golden
     from tpu_snappy.utils import corpus, metrics
+
+    cfg = FAST_CONFIG if args.fast else DEFAULT_CONFIG
+    sfx = "_fast" if args.fast else ""
 
     enc_rows, dev_rows, dec_rows = [], [], []
     for name in corpus.corpus_files():
@@ -60,13 +67,14 @@ def main():
         typ = "repeat" if typ == "repeating" else typ  # hw_results.csv naming
         n = len(data)
 
-        wall, comp = _time(lambda: api.compress(data), args.iters)
+        wall, comp = _time(lambda: api.compress(data, cfg), args.iters)
         enc_rows.append(metrics.Row(typ, n, wall, len(comp)))
         print(enc_rows[-1].csv(), file=sys.stderr)
 
         if not args.skip_device:
             wall_d, comp_d = _time(
-                lambda: api.compress(data, small_fastpath=False), args.iters)
+                lambda: api.compress(data, cfg, small_fastpath=False),
+                args.iters)
             dev_rows.append(metrics.Row(typ, n, wall_d, len(comp_d)))
 
         # Decode. Row naming is explicit about WHICH decoder ran: every
@@ -114,12 +122,12 @@ def main():
 
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    with (outdir / "tpu_results.csv").open("w") as fp:
+    with (outdir / f"tpu_results{sfx}.csv").open("w") as fp:
         metrics.write_csv(enc_rows, fp)
     if dev_rows:
-        with (outdir / "tpu_results_device.csv").open("w") as fp:
+        with (outdir / f"tpu_results_device{sfx}.csv").open("w") as fp:
             metrics.write_csv(dev_rows, fp)
-    with (outdir / "tpu_decode_results.csv").open("w") as fp:
+    with (outdir / f"tpu_decode_results{sfx}.csv").open("w") as fp:
         metrics.write_csv(dec_rows, fp)
 
     print(metrics.summary_table(enc_rows))
