@@ -81,7 +81,9 @@ def main(argv=None):
                      "yet; use the framed container for those")
         from . import hadoop
 
-        compress_fn = hadoop.compress
+        def compress_fn(d):
+            return hadoop.compress(d, cfg=cfg)
+
         decompress_fn = hadoop.decompress
     elif args.framed:
         # Framed chunks are independent, so the container composes with
