@@ -26,7 +26,6 @@ at all (funct=1 is a stub, CompressionAccelerator.scala:385-388).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ chase skips whole segments (decode only).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 import pathlib
 
-import numpy as np
 
 REFERENCE_ROOT = pathlib.Path(os.environ.get("TPU_SNAPPY_REFERENCE", "/root/reference"))
 BENCH_DATA = REFERENCE_ROOT / "benchmark" / "benchmark-data"
