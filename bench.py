@@ -323,16 +323,18 @@ def main():
         from tpu_snappy import sidecar as sc
         jobs = []
         side_bytes = 0
+        wrows = sc.PARENT_WROWS[0]
         for i in range(nf):
             elems = frags[i, : clens[i]].tobytes()
             payload = sc.build(elems, int(ulens[i]))
             assert payload is not None
             side_bytes += len(payload) + 4
-            s2, vals = sc.split_for_device(*sc.parse(payload), int(ulens[i]))
+            s2, vals, wr = sc.prep_parent(*sc.parse(payload), int(ulens[i]))
+            wrows = max(wrows, wr)
             jobs.append((elems, int(ulens[i]), s2, vals))
         E, S, V, U = sc.pack_batch(jobs, pad_rows=-nf % DEC_WAVE)
         sfn = jax.jit(lambda e, s, v, u: sc.decode_corpus_sidecar(
-            e, s, v, u, wave=DEC_WAVE))
+            e, s, v, u, wave=DEC_WAVE, wrows=wrows))
         Ed, Sd, Vd, Ud = map(jax.device_put, (E, S, V, U))
         outs, oks = sfn(Ed, Sd, Vd, Ud)
         outs_np, oks_np = np.asarray(outs), np.asarray(oks)

@@ -219,6 +219,47 @@ def test_tiled_resolve_chains():
                 jnp.asarray(lit), jnp.asarray(s), variant=variant))
             assert (y == lit[_fixed_point(s)]).all(), variant
 
+    # Flagged variant: exact per-lane resolution flags replace the detect
+    # body. flags[i] = "src[i] is a fixpoint"; exactness is required (an
+    # over-approximation would corrupt), so build it from ground truth.
+    for s in (src, cross, chain, ident,
+              np.minimum(ident, rng.integers(0, N, N)).astype(np.int32)):
+        flags = (s[s] == s).astype(np.int32)
+        y = np.asarray(TR.resolve_tiled_flag(
+            jnp.asarray(lit), jnp.asarray(s), jnp.asarray(flags)))
+        assert (y == lit[_fixed_point(s)]).all(), "flag"
+        # under-approximate flags (all zero) still resolve exactly —
+        # they only waste rounds
+        y = np.asarray(TR.resolve_tiled_flag(
+            jnp.asarray(lit), jnp.asarray(s), jnp.zeros(N, np.int32)))
+        assert (y == lit[_fixed_point(s)]).all(), "flag0"
+
+    # Depth-hinted variant: exact per-tile round counts (the oracle for
+    # any sidecar partial hint). Build ground truth by simulating the
+    # kernel's local rounds per tile, left to right.
+    def _tile_depths(s_in, tile):
+        nt = N // tile
+        dep = np.zeros(nt, np.int32)
+        for t in range(nt):
+            base = t * tile
+            s = s_in[base:base + tile].copy()
+            r = 0
+            while True:
+                in_t = s >= base
+                g = np.where(in_t, s[np.clip(s - base, 0, tile - 1)], s)
+                if (g == s).all():
+                    break
+                s = g
+                r += 1
+            dep[t] = r
+        return dep
+
+    for s in (src, cross, ident):
+        dep = _tile_depths(s, TR.TILE)
+        y = np.asarray(TR.resolve_tiled_depth(
+            jnp.asarray(lit), jnp.asarray(s), jnp.asarray(dep)))
+        assert (y == lit[_fixed_point(s)]).all(), "depth"
+
     # Dual-fragment form: each half bit-identical to the fori variant,
     # including asymmetric resolved flags (frag 0 at fixpoint, frag 1 not).
     lit2 = np.stack([lit, np.roll(lit, 7)])
@@ -257,7 +298,7 @@ def test_resolve_decode_equivalence():
     frags = np.concatenate([f[:, :w] for f in all_frags])
     clens, ulens = np.asarray(all_clens), np.asarray(all_ulens)
     for resolve in ("xla", "kernel", "windowed", "plain", "hybrid",
-                    "tiled", "tiledtail", "paratail"):
+                    "tiled", "tiledtail", "flagtail", "paratail"):
         out, ok = D.decode_fragments_jit(
             jnp.asarray(frags), jnp.asarray(clens), jnp.asarray(ulens),
             resolve=resolve)

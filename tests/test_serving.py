@@ -175,6 +175,56 @@ def test_framed_serving_corruption_raises():
             timeout=60) == b""
 
 
+def _oversize_framed_chunk(n: int = 65536) -> bytes:
+    """A spec-valid framed COMPRESSED chunk whose payload exceeds the
+    device fragment capacity: n bytes emitted as n 1-byte literals
+    (2 bytes each -> ~128 KB > FRAG_CAP)."""
+    from tpu_snappy import framing
+    data = (b"\x5a\xa5" * ((n + 1) // 2))[:n]
+    elems = b"".join(b"\x00" + data[i:i + 1] for i in range(n))
+    payload = fmt.varint_encode(n) + elems
+    body = framing.mask(framing.crc32c(data)).to_bytes(4, "little") + payload
+    return (bytes([framing.CHUNK_COMPRESSED])
+            + len(body).to_bytes(3, "little") + body), data
+
+
+def test_framed_oversize_chunk_settles_on_host_not_wave():
+    # A foreign all-literal chunk (> FRAG_CAP compressed) must never be
+    # enqueued on a device wave: it decodes on the host, and a co-batched
+    # normal request is unaffected (round-3 advisor medium finding).
+    from tpu_snappy import framing
+    from tpu_snappy.ops import decode as ops_decode
+    chunk, data = _oversize_framed_chunk()
+    assert len(chunk) - 4 - 4 > ops_decode.FRAG_CAP
+    fr_bad = framing.STREAM_ID + chunk
+    normal = _text(100_000)
+    fr_ok = framing.compress(normal)
+    with serving.CodecServer(wave=4, max_wait_ms=150) as srv:
+        f1 = srv.decompress_framed(fr_bad)
+        f2 = srv.decompress_framed(fr_ok)
+        assert f1.result(timeout=600) == data
+        assert f2.result(timeout=600) == normal
+        stats = srv.stats
+    assert stats.spliced_fragments >= 1  # the oversize chunk went host-side
+    # parity: the framing module handles the same stream
+    assert framing.decompress(fr_bad) == data
+
+
+def test_framed_oversize_uncompressed_chunk_rejected():
+    # Both framed decode entry points must enforce the 65536-byte cap on
+    # UNCOMPRESSED chunks (round-3 advisor finding).
+    from tpu_snappy import framing
+    piece = b"x" * 70_000
+    body = framing.mask(framing.crc32c(piece)).to_bytes(4, "little") + piece
+    fr = (framing.STREAM_ID + bytes([framing.CHUNK_UNCOMPRESSED])
+          + len(body).to_bytes(3, "little") + body)
+    with pytest.raises(ValueError):
+        framing.decompress(fr)
+    with serving.CodecServer(wave=4, max_wait_ms=100) as srv:
+        with pytest.raises(ValueError):
+            srv.decompress_framed(fr).result(timeout=60)
+
+
 def test_many_threads_submit():
     payloads = {i: _rand(65_536 + 137 * i, seed=i) for i in range(6)}
     results = {}

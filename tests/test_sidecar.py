@@ -105,6 +105,24 @@ def test_device_sidecar_decode_all_classes():
         assert bool(ok[j]), name
         assert out[j, :total].tobytes() == data, name
 
+    # Parent-direct mode (round 4): scatter the maximal wire pieces
+    # directly (no host split) with a host-chosen window bucket —
+    # identical bytes for every class.
+    Sp = np.full((B, pw), sidecar.OUT, np.int32)
+    Vp = np.zeros((B, pw), np.int32)
+    wrows = sidecar.PARENT_WROWS[0]
+    for j, (name, _d, elems, total, _s, _v) in enumerate(jobs):
+        payload = sidecar.build(elems, total)
+        starts, roots, slopes = sidecar.parse(payload)
+        Sp[j, : len(starts)] = starts
+        Vp[j, : len(starts)] = sidecar.parent_vals(starts, roots, slopes)
+        wrows = max(wrows, sidecar.parent_wrows(starts))
+    outp, okp = sidecar.decode_chunks_jit(E, Sp, Vp, U, wrows=wrows)
+    outp, okp = np.asarray(outp), np.asarray(okp)
+    for j, (name, data, _e, total, _s, _v) in enumerate(jobs):
+        assert bool(okp[j]), name
+        assert outp[j, :total].tobytes() == data, name
+
 
 def _mix():
     # One chunk of each class (text-ish / RLE / random / corpus text) —
@@ -138,6 +156,13 @@ def test_framed_sidecar_composes_with_mesh():
     fr = framing.compress(mix, sidecar="always", mesh=m)
     assert fr == framing.compress(mix, sidecar="always")
     assert framing.decompress(fr, mesh=m) == mix
+    # Non-default mesh axis name: the sidecar path must honor cfg.dp_axis
+    # like the normal chunk path does (round-3 advisor finding).
+    import dataclasses
+    from tpu_snappy.config import DEFAULT_CONFIG
+    mx = meshlib.make_mesh(4, axis="blocks")
+    cfgx = dataclasses.replace(DEFAULT_CONFIG, dp_axis="blocks")
+    assert framing.decompress(fr, cfg=cfgx, mesh=mx) == mix
 
 
 def test_sidecar_chunk_type_is_spec_skippable():

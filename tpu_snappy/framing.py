@@ -206,8 +206,8 @@ def _encode_blocks_any(blocks, lengths, cfg: CodecConfig, mesh):
         lp = np.pad(lengths, (0, padded - nb))
         import jax
         dense, out_lens = shard._encode_fn_compact(mesh, cfg, wave)(
-            jax.device_put(bp, meshlib.block_sharding(mesh)),
-            jax.device_put(lp, meshlib.scalar_sharding(mesh)))
+            jax.device_put(bp, meshlib.block_sharding(mesh, cfg.dp_axis)),
+            jax.device_put(lp, meshlib.scalar_sharding(mesh, cfg.dp_axis)))
         lens_np = np.asarray(out_lens)
         buf = b"".join(shard.assemble_compact(
             dense, lens_np, nb, mesh, cfg.block_capacity))
@@ -328,7 +328,7 @@ def _parse_chunks(framed: bytes):
 
 
 def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
-                           mesh=None):
+                           cfg: CodecConfig = DEFAULT_CONFIG, mesh=None):
     """Fast-path decode of compressed chunks that carry a usable sidecar.
 
     Fills out_parts for every chunk whose sidecar-decoded bytes pass the
@@ -341,7 +341,7 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
     from . import api
     from . import sidecar as sc
 
-    jobs = []  # (chunk index, elems bytes, ulen, starts, vals)
+    jobs = []  # (chunk index, elems bytes, ulen, starts, vals, wrows)
     rest = []
     for i in comp_idx:
         body = bodies[i][1]
@@ -356,9 +356,9 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
                     and len(elems) < sc.OUT:
                 parsed = sc.parse(side_for[i])
                 if parsed is not None:
-                    sv = sc.split_for_device(*parsed, ulen)
+                    sv = sc.prep_parent(*parsed, ulen)
                     if sv is not None:
-                        job = (i, elems, ulen, sv[0], sv[1])
+                        job = (i, elems, ulen, sv[0], sv[1], sv[2])
         if job is None:
             rest.append(i)
         else:
@@ -367,8 +367,11 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
         return rest
 
     B = len(jobs)
+    # One wrows bucket per batch (max over chunks): bounded jit variants,
+    # and the scatter's overflow counter still gates correctness.
+    wrows = max(j[5] for j in jobs)
     units = [(elems, ulen, starts, vals)
-             for _i, elems, ulen, starts, vals in jobs]
+             for _i, elems, ulen, starts, vals, _w in jobs]
     if mesh is not None:
         import jax
 
@@ -378,19 +381,21 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
         wave = min(shard.DP_WAVE, per_dev)
         padded = (-(-per_dev // wave) * wave) * ndev
         E, S, V, U = sc.pack_batch(units, pad_rows=padded - B)
-        bs, ss = meshlib.block_sharding(mesh), meshlib.scalar_sharding(mesh)
-        out, ok = shard._decode_sidecar_fn(mesh, "dp", wave)(
+        bs = meshlib.block_sharding(mesh, cfg.dp_axis)
+        ss = meshlib.scalar_sharding(mesh, cfg.dp_axis)
+        out, ok = shard._decode_sidecar_fn(mesh, cfg.dp_axis, wave, wrows)(
             jax.device_put(E, bs), jax.device_put(S, bs),
             jax.device_put(V, bs), jax.device_put(U, ss))
         out, ok = shard.fetch_global(out)[:B], np.asarray(ok)[:B]
     elif B > api.API_WAVE:
         E, S, V, U = sc.pack_batch(units, pad_rows=-B % api.API_WAVE)
-        out, ok = sc.decode_corpus_sidecar(E, S, V, U, wave=api.API_WAVE)
+        out, ok = sc.decode_corpus_sidecar(E, S, V, U, wave=api.API_WAVE,
+                                           wrows=wrows)
         out, ok = np.asarray(out)[:B], np.asarray(ok)[:B]
     else:
-        out, ok = sc.decode_chunks_jit(*sc.pack_batch(units))
+        out, ok = sc.decode_chunks_jit(*sc.pack_batch(units), wrows=wrows)
         out, ok = np.asarray(out), np.asarray(ok)
-    for j, (i, _elems, ulen, _s, _v) in enumerate(jobs):
+    for j, (i, _elems, ulen, _s, _v, _w) in enumerate(jobs):
         piece = out[j, :ulen].tobytes()
         want = unmask(int.from_bytes(bodies[i][1][:4], "little"))
         if ok[j] and crc32c(piece) == want:
@@ -439,7 +444,7 @@ def _decode_data_chunks(bodies: list[tuple[int, bytes]],
                 if t == CHUNK_COMPRESSED]
     if use_sidecar and side_for:
         comp_idx = _decode_sidecar_chunks(bodies, side_for, comp_idx,
-                                          out_parts, mesh)
+                                          out_parts, cfg, mesh)
 
     if comp_idx:
         clens = np.zeros(len(comp_idx), np.int32)
@@ -477,9 +482,9 @@ def _decode_data_chunks(bodies: list[tuple[int, bytes]],
             cl = np.pad(clens, (0, padded - nf))
             ul = np.pad(ulens, (0, padded - nf))
             out, ok = shard._decode_fn(mesh, cfg.dp_axis, wave)(
-                jax.device_put(fr, meshlib.block_sharding(mesh)),
-                jax.device_put(cl, meshlib.scalar_sharding(mesh)),
-                jax.device_put(ul, meshlib.scalar_sharding(mesh)))
+                jax.device_put(fr, meshlib.block_sharding(mesh, cfg.dp_axis)),
+                jax.device_put(cl, meshlib.scalar_sharding(mesh, cfg.dp_axis)),
+                jax.device_put(ul, meshlib.scalar_sharding(mesh, cfg.dp_axis)))
             out, ok = shard.fetch_global(out)[:nf], np.asarray(ok)[:nf]
         elif nf > api.API_WAVE:
             pad = -nf % api.API_WAVE

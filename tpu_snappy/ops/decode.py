@@ -276,7 +276,8 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
     resolve: copy-chain strategy — "auto" (TPU: "tiledtail", else
     "hybrid"), "tiledtail" (adaptive dense rounds + tile-sequential tail
-    kernel), "tiled" (tail kernel alone), "hybrid" (dense doubling rounds
+    kernel), "flagtail" (tiledtail + exact per-lane resolution flags: no
+    detect bodies), "tiled" (tail kernel alone), "hybrid" (dense doubling rounds
     while the moving set is large, then sort-extract + sparse pointer
     chase + sort-restore; see the inline analysis), "plain" (per-round
     dispatched doubling to the fixed point), "kernel" (fused mega-kernel),
@@ -339,6 +340,43 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         out = tiledres.resolve_tiled(
             lit_out, src, resolved=cnt == 0,
             tile=TAIL_TILE, variant=TAIL_VARIANT).astype(jnp.uint8)
+    elif resolve == "flagtail":
+        # tiledtail + exact per-lane resolution flags: the round-3 census
+        # measured one quiet DETECT body per tile (16 x 5.6 us/frag — the
+        # while loop only learns it is done by observing a no-move round).
+        # Flags f[i] = litv[s[i]] ("my pointer is at a root") terminate
+        # each tile's loop on CURRENT state after exactly its productive
+        # depth. litv (root positions = fixpoints of the one-step map) is
+        # free here (src == i); the init gather f = litv[s_exit] is made
+        # ~16x cheaper than a full-range byte gather by packing litv
+        # 16-per-u16 word (4096-row table) and extracting the bit with an
+        # elementwise variable shift. Maintenance inside the tail kernel
+        # is exact by construction (tiledres._make_kernel_flag).
+        from .pallas import tiledres
+
+        litv = (src == oiota).astype(jnp.int32)
+
+        def dense_cond(c):
+            _s, cnt, it = c
+            return (cnt > TAIL_CAP) & (it < 16)
+
+        def dense_body(c):
+            s, _cnt, it = c
+            s2 = _gather_out(s, s)
+            return s2, jnp.sum((s2 != s).astype(jnp.int32)), it + 1
+
+        src, _cnt, _ = jax.lax.while_loop(
+            dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
+        if _on_tpu():
+            words = jnp.sum(
+                litv.reshape(OUT // 16, 16)
+                << jnp.arange(16, dtype=jnp.int32)[None, :], axis=-1)
+            w = pallas_gather.gather_block(words, src >> 4, limbs=2)
+            flags = (w >> (src & 15)) & 1
+        else:
+            flags = litv[src]
+        out = tiledres.resolve_tiled_flag(
+            lit_out, src, flags, tile=TAIL_TILE).astype(jnp.uint8)
     elif resolve == "paratail":
         # Hoisted-locals variant of tiledtail: the tail kernel's serial
         # (tile x local-round) loop pays the ~8 us in-kernel one-hot-op

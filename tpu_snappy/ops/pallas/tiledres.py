@@ -143,6 +143,170 @@ def _make_kernel(tile: int, check: int):
     return kernel
 
 
+def _make_kernel_flag(tile: int):
+    """Flagged variant: carries an exact per-lane resolution flag
+    f[i] = litv[s[i]] ("my pointer is at a literal/root") through the
+    local doubling, which removes the while-loop's +1 quiet DETECT body
+    the round-3 census measured on every tile (16 bodies/frag x 5.6 us —
+    the loop otherwise only learns it is done by running one more round
+    and observing no movement).
+
+    Exactness is the whole trick: gathering the CARRIED flag at the old
+    pointer yields the flag of the new pointer —
+        f2[i] = f1[s1[i]] = litv[s1[s1[i]]] = litv[s2[i]]
+    — so flags initialized exactly (decode.py: a bit-packed word gather
+    of litv at the dense-exit pointers, ~16x cheaper than a full-range
+    byte gather) stay exact forever, and the loop condition
+    any(in-tile & ~f) is evaluated on CURRENT state: a tile needing d
+    productive rounds runs exactly d bodies. A lagged init (e.g. packing
+    static litv into the dense-round table) does NOT work: the flag then
+    trails the pointer by one doubling level and the detect round
+    reappears on the deepest lanes — derivation in stage_budgets_r4."""
+    tr = tile // LO
+    nt = N // tile
+    max_local = tile.bit_length()
+
+    def kernel(src_ref, flg_ref, lit_ref, out_ref, p_ref):
+        p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        def step(t, _):
+            base = t * tile
+            s = src_ref[pl.ds(t * tr, tr), :]   # (tr, LO) i32
+            f = flg_ref[pl.ds(t * tr, tr), :]   # (tr, LO) i32 0/1, exact
+
+            def one_round(s1, f1):
+                d = s1 - base
+                in_t = d >= 0
+                dc = jnp.where(in_t, d, 0)
+                h_oh = ((dc >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((dc & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.float32)
+                z = (jax.lax.dot_general(
+                        h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                zf = jax.lax.dot_general(
+                    h_oh, f1.astype(jnp.bfloat16),
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+                gf = jnp.sum(zf * l_oh, axis=2).astype(jnp.int32)
+                return (jnp.where(in_t, g, s1), jnp.where(in_t, gf, f1))
+
+            # Exact loop: run while any lane points in-tile at a
+            # non-root. No `changed` carry, no pre-check, no detect body.
+            def cond(c):
+                s1, f1, r = c
+                return jnp.any((f1 == 0) & (s1 >= base)) & (r < max_local)
+
+            def body(c):
+                s1, f1, r = c
+                s2, f2 = one_round(s1, f1)
+                return s2, f2, r + 1
+
+            s, f, _ = jax.lax.while_loop(cond, body, (s, f, jnp.int32(0)))
+
+            h_oh = ((s >> 7)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
+                    ).astype(jnp.bfloat16)
+            l_oh = ((s & 127)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                    ).astype(jnp.bfloat16)
+            z = jax.lax.dot_general(
+                h_oh, p_ref[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            byte = jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                           dtype=jnp.float32)
+            p_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.bfloat16)
+            out_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nt, step, 0)
+
+    return kernel
+
+
+def _make_kernel_depth(tile: int):
+    """Depth-hinted variant (the VERDICT-r3 'per-tile body count' design,
+    and the strongest admissible sidecar partial hint): tile t runs
+    EXACTLY depth[t] local rounds — no detect body, no per-lane flag
+    plane, no convergence check at all. depth[t] must be >= the tile's
+    true local depth (the decoder's CRC gate catches an under-declared
+    hint: unresolved lanes yield wrong bytes and the chunk falls back).
+    This is the oracle instrument for the round-4 sidecar-v2 study:
+    feeding ground-truth depths measures the ceiling of ANY scheme that
+    only shortens the tail (hints, flags, precomputation)."""
+    tr = tile // LO
+    nt = N // tile
+    max_local = tile.bit_length()
+
+    def kernel(dep_ref, src_ref, lit_ref, out_ref, p_ref):
+        p_ref[:] = lit_ref[:].astype(jnp.bfloat16)
+
+        def step(t, _):
+            base = t * tile
+            s = src_ref[pl.ds(t * tr, tr), :]
+
+            def one_round(s1):
+                d = s1 - base
+                in_t = d >= 0
+                dc = jnp.where(in_t, d, 0)
+                h_oh = ((dc >> 7)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, tr), 2)
+                        ).astype(jnp.bfloat16)
+                l_oh = ((dc & 127)[:, :, None] ==
+                        jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                        ).astype(jnp.float32)
+                z = (jax.lax.dot_general(
+                        h_oh, (s1 & 0xFF00).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     + jax.lax.dot_general(
+                        h_oh, (s1 & 0x00FF).astype(jnp.bfloat16),
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                g = jnp.sum(z * l_oh, axis=2).astype(jnp.int32)
+                return jnp.where(in_t, g, s1)
+
+            # Dynamic scalar VMEM loads don't lower; extract depth[t] with
+            # a masked lane reduce instead.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            dep = jnp.minimum(
+                jnp.sum(jnp.where(lane == t, dep_ref[0:1, :], 0)), max_local)
+            s = jax.lax.while_loop(
+                lambda c: c[1] < dep,
+                lambda c: (one_round(c[0]), c[1] + 1),
+                (s, jnp.int32(0)))[0]
+
+            h_oh = ((s >> 7)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, HI), 2)
+                    ).astype(jnp.bfloat16)
+            l_oh = ((s & 127)[:, :, None] ==
+                    jax.lax.broadcasted_iota(jnp.int32, (tr, LO, LO), 2)
+                    ).astype(jnp.bfloat16)
+            z = jax.lax.dot_general(
+                h_oh, p_ref[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            byte = jnp.sum(z.astype(jnp.bfloat16) * l_oh, axis=2,
+                           dtype=jnp.float32)
+            p_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.bfloat16)
+            out_ref[pl.ds(t * tr, tr), :] = byte.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, nt, step, 0)
+
+    return kernel
+
+
 def _make_kernel_pair(tile: int, check: int):
     """Paired-absorb variant: the absorb stage is bound by the serial
     P-plane dependency chain (~10.5 us/step measured — the tri/bf16
@@ -539,6 +703,61 @@ def resolve_tiled_dual(lit2: jax.Array, src2: jax.Array,
         interpret=_interpret(),
     )(res, src2.reshape(2 * HI, LO), lit2.reshape(2 * HI, LO))
     return out.reshape(2, N)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def resolve_tiled_flag(lit: jax.Array, src: jax.Array, flags: jax.Array,
+                       tile: int = TILE) -> jax.Array:
+    """resolve_tiled with an exact per-lane resolution flag (variant
+    'flag' — see _make_kernel_flag): flags (65536,) int32 0/1 MUST satisfy
+    flags[i] = (src[src[i]] == src[i]), i.e. "src[i] is a fixpoint".
+    An over-approximate flag (1 on an unresolved lane) yields wrong bytes;
+    an under-approximate one merely wastes rounds. decode.py initializes
+    it exactly with a bit-packed word gather. Bit-identical to
+    resolve_tiled for exact flags (tests assert)."""
+    assert N % tile == 0 and tile % LO == 0, tile
+    out = pl.pallas_call(
+        _make_kernel_flag(tile),
+        in_specs=[
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((HI, LO), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((HI, LO), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((HI, LO), jnp.bfloat16)],
+        interpret=_interpret(),
+    )(src.reshape(HI, LO), flags.reshape(HI, LO), lit.reshape(HI, LO))
+    return out.reshape(N)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def resolve_tiled_depth(lit: jax.Array, src: jax.Array, depths: jax.Array,
+                        tile: int = TILE) -> jax.Array:
+    """resolve_tiled with per-tile local round counts (variant 'depth' —
+    see _make_kernel_depth). depths: (N//tile,) int32, each >= the tile's
+    true local depth (over-declaring only wastes rounds; under-declaring
+    yields wrong bytes, which the framed CRC gate catches). Bit-identical
+    to resolve_tiled for correct depths (tests assert)."""
+    assert N % tile == 0 and tile % LO == 0, tile
+    nt = N // tile
+    dep = jnp.zeros((8, 128), jnp.int32).at[0, :nt].set(
+        depths.astype(jnp.int32))
+    out = pl.pallas_call(
+        _make_kernel_depth(tile),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HI, LO), lambda: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((HI, LO), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((HI, LO), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((HI, LO), jnp.bfloat16)],
+        interpret=_interpret(),
+    )(dep, src.reshape(HI, LO), lit.reshape(HI, LO))
+    return out.reshape(N)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "check", "variant"))

@@ -50,7 +50,8 @@ def _encode_fn(mesh, cfg: CodecConfig, wave: int = DP_WAVE):
         out_specs=(P(axis, None), P(axis)), check_vma=False)
     return jax.jit(
         local,
-        out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
+        out_shardings=(meshlib.block_sharding(mesh, axis),
+                       meshlib.replicated(mesh)),
     )
 
 
@@ -112,21 +113,25 @@ def assemble_compact(dense, lens_np: np.ndarray, nblocks: int, mesh,
 
 
 @functools.lru_cache(maxsize=8)
-def _decode_sidecar_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
+def _decode_sidecar_fn(mesh, axis: str = "dp", wave: int = DP_WAVE,
+                       wrows: int | None = None):
     """Sharded sidecar fast-decode (framing 0x80 chunks): the per-chunk
     scatter+ffill+gather pipeline is chunk-independent like everything
-    else, so it shards DP identically to _decode_fn."""
+    else, so it shards DP identically to _decode_fn. wrows selects the
+    parent-direct mode (sidecar._decode_one)."""
     from jax.sharding import PartitionSpec as P
 
     from .. import sidecar as sc
     local = jax.shard_map(
-        lambda e, s, v, u: sc.decode_corpus_sidecar(e, s, v, u, wave=wave),
+        lambda e, s, v, u: sc.decode_corpus_sidecar(e, s, v, u, wave=wave,
+                                                    wrows=wrows),
         mesh=mesh, in_specs=(P(axis, None), P(axis, None), P(axis, None),
                              P(axis)),
         out_specs=(P(axis, None), P(axis)), check_vma=False)
     return jax.jit(
         local,
-        out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
+        out_shardings=(meshlib.block_sharding(mesh, axis),
+                       meshlib.replicated(mesh)),
     )
 
 
@@ -139,7 +144,8 @@ def _decode_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
         out_specs=(P(axis, None), P(axis)), check_vma=False)
     return jax.jit(
         local,
-        out_shardings=(meshlib.block_sharding(mesh), meshlib.replicated(mesh)),
+        out_shardings=(meshlib.block_sharding(mesh, axis),
+                       meshlib.replicated(mesh)),
     )
 
 
@@ -181,8 +187,8 @@ def encode_dp(data: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
     padded = (-(-per_dev // wave) * wave) * ndev
     arr, lengths, nblocks = blocks_of(data, cfg.block_size, padded)
 
-    blocks = jax.device_put(arr, meshlib.block_sharding(mesh))
-    lens = jax.device_put(lengths, meshlib.scalar_sharding(mesh))
+    blocks = jax.device_put(arr, meshlib.block_sharding(mesh, cfg.dp_axis))
+    lens = jax.device_put(lengths, meshlib.scalar_sharding(mesh, cfg.dp_axis))
     dense, out_lens = _encode_fn_compact(mesh, cfg, wave)(blocks, lens)
 
     # Ordered assembly on host: per-device dense payload segments (the
@@ -211,10 +217,12 @@ def decode_dp(comp: bytes, mesh, cfg: CodecConfig = DEFAULT_CONFIG) -> bytes:
         clens = np.pad(clens, (0, padded - nfrag))
         ulens = np.pad(ulens, (0, padded - nfrag))
 
-    out, ok = _decode_fn(mesh, "dp", wave)(
-        jax.device_put(frags, meshlib.block_sharding(mesh)),
-        jax.device_put(np.asarray(clens, np.int32), meshlib.scalar_sharding(mesh)),
-        jax.device_put(np.asarray(ulens, np.int32), meshlib.scalar_sharding(mesh)),
+    out, ok = _decode_fn(mesh, cfg.dp_axis, wave)(
+        jax.device_put(frags, meshlib.block_sharding(mesh, cfg.dp_axis)),
+        jax.device_put(np.asarray(clens, np.int32),
+                       meshlib.scalar_sharding(mesh, cfg.dp_axis)),
+        jax.device_put(np.asarray(ulens, np.int32),
+                       meshlib.scalar_sharding(mesh, cfg.dp_axis)),
     )
     okv = np.asarray(ok)[:nfrag]
     if not okv.all():

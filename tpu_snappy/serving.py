@@ -268,7 +268,7 @@ class CodecServer:
                 datach.append((t, body))
                 side.append(None)
                 pending = None
-        dec_units, scd_units = [], []
+        dec_units, scd_units, over_ids = [], [], []
         for i, (t, body) in enumerate(datach):
             if t != framing.CHUNK_COMPRESSED:
                 continue
@@ -288,12 +288,21 @@ class CodecServer:
             if side[i] is not None and 0 < ulen and len(payload) < sc.OUT:
                 parsed = sc.parse(side[i])
                 if parsed is not None:
-                    sv = sc.split_for_device(*parsed, int(ulen))
+                    sv = sc.prep_parent(*parsed, int(ulen))
             if sv is not None:
-                scd_units.append((i, payload, int(ulen), sv[0], sv[1]))
+                scd_units.append((i, payload, int(ulen), sv[0], sv[1],
+                                  sv[2]))
+            elif len(payload) > ops_decode.FRAG_CAP:
+                # Spec-valid but beyond the device fragment capacity (an
+                # adversarial all-literal 64 KB chunk compresses to
+                # ~131 KB): never enqueue it — a capacity-width batch row
+                # cannot hold it and the whole wave would fail. Mark it
+                # not-ok; _assemble_framed re-decodes it on the host, the
+                # same route framing._decode_data_chunks uses.
+                over_ids.append(i)
             else:
                 dec_units.append((i, payload, len(payload), int(ulen)))
-        n_units = len(dec_units) + len(scd_units)
+        n_units = len(dec_units) + len(scd_units) + len(over_ids)
         req = _Request("decf", max(1, n_units),
                        sum(len(b) - 4 for _t, b in datach))
         req.chunks = datach
@@ -306,17 +315,28 @@ class CodecServer:
             return req.future
         req.oks = [True] * n_units
         req.chunk_ids = ([u[0] for u in dec_units]
-                         + [u[0] for u in scd_units])
+                         + [u[0] for u in scd_units] + over_ids)
+        # Settle oversize chunks up front (host path at assembly); when
+        # every unit is oversize this resolves the request inline.
+        base = len(dec_units) + len(scd_units)
+        for j in range(len(over_ids)):
+            req.oks[base + j] = False
+            if req.deliver(base + j, b""):
+                try:
+                    self._resolve(req, self._assemble_framed(req))
+                except ValueError as e:
+                    self._resolve(req, exc=e)
+                return req.future
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
             for j, (_i, payload, cl, ul) in enumerate(dec_units):
                 self._q["dec"].append(
                     (req, j, np.frombuffer(payload, np.uint8), cl, ul))
-            for j, (_i, payload, ul, s2, vals) in enumerate(scd_units):
+            for j, (_i, payload, ul, s2, vals, wr) in enumerate(scd_units):
                 self._q["scd"].append(
                     (req, len(dec_units) + j,
-                     np.frombuffer(payload, np.uint8), ul, s2, vals))
+                     np.frombuffer(payload, np.uint8), ul, s2, vals, wr))
             self._lock.notify_all()
         return req.future
 
@@ -332,17 +352,22 @@ class CodecServer:
             want = framing.unmask(int.from_bytes(body[:4], "little"))
             if t == framing.CHUNK_UNCOMPRESSED:
                 piece = body[4:]
+                if len(piece) > framing.MAX_CHUNK:
+                    raise ValueError("uncompressed chunk exceeds 65536")
+                crc = framing.crc32c(piece)
             else:
                 j = cid[i]
                 piece = req.parts[j] if req.oks[j] else None
-                if piece is None or framing.crc32c(piece) != want:
+                crc = framing.crc32c(piece) if piece is not None else None
+                if crc != want:
                     try:
                         piece = reference_codec.decompress(body[4:])
                     except ValueError as e:
                         raise ValueError(f"chunk {i}: {e}") from e
+                    crc = framing.crc32c(piece)
                     with self._lock:
                         self.stats.spliced_fragments += 1
-            if framing.crc32c(piece) != want:
+            if crc != want:
                 raise ValueError(f"chunk {i}: CRC-32C mismatch")
             out.append(piece)
         return b"".join(out)
@@ -537,10 +562,12 @@ class CodecServer:
         _assemble_framed — the sidecar stays a pure hint."""
         from . import sidecar as sc
 
+        wrows = max(u[6] for u in units)
         out, ok = sc.decode_chunks_jit(*sc.pack_batch(
-            [(u[2].tobytes(), u[3], u[4], u[5]) for u in units]))
+            [(u[2].tobytes(), u[3], u[4], u[5]) for u in units]),
+            wrows=wrows)
         out, ok = np.asarray(out), np.asarray(ok)
-        for j, (req, i, _payload, ul, _s2, _vals) in enumerate(units):
+        for j, (req, i, _payload, ul, _s2, _vals, _w) in enumerate(units):
             if not ok[j]:
                 req.failed = True
                 req.oks[i] = False
