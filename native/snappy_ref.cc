@@ -331,6 +331,138 @@ int sr_root_map(const uint8_t* elems, size_t n, uint64_t expected_out,
   return SR_OK;
 }
 
+int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
+                   uint32_t tail_cap, uint32_t tile, uint8_t* depths) {
+  // Mirrors tpu_snappy/ops/decode.py exactly (parse_transport's collapsed
+  // one-step source map over the FULL padded 64 KB domain, the dense
+  // while-loop's cond, and tiledres' per-tile local rounds) — the hint is
+  // only valid for the pipeline it simulates, so the sidecar payload
+  // carries (tail_cap, tile) and the decoder checks them.
+  constexpr uint32_t kOut = 1u << 16;
+  if (expected_out == 0 || expected_out > kBlockSize || n > 0xffff)
+    return SR_ERR_CAPACITY;
+  if (tile == 0 || (kOut % tile) != 0 || (tile % 128) != 0)
+    return SR_ERR_CAPACITY;
+  std::vector<uint32_t> src(kOut);
+  size_t ip = 0, op = 0;
+  // Element walk -> collapsed one-step map. run_start tracks the head of
+  // the current contiguous same-offset copy-element run (decode.py's
+  // run_head/rs_f forward-fill, element-granular here).
+  size_t run_start = 0, last_off = 0;
+  bool last_copy = false;
+  size_t tail_off = 0;  // final element's copy offset (0 = literal)
+  while (ip < n) {
+    const uint8_t tag = elems[ip];
+    const unsigned kind = tag & 3;
+    if (kind == 0) {
+      size_t llen, hdr;
+      if ((tag >> 2) < 60) {
+        llen = (tag >> 2) + 1;
+        hdr = 1;
+      } else {
+        const unsigned extra = (tag >> 2) - 59;
+        if (ip + 1 + extra > n) return SR_ERR_TRUNCATED;
+        uint64_t v = 0;
+        for (unsigned i = 0; i < extra; i++)
+          v |= static_cast<uint64_t>(elems[ip + 1 + i]) << (8 * i);
+        llen = static_cast<size_t>(v) + 1;
+        hdr = 1 + extra;
+      }
+      if (ip + hdr + llen > n) return SR_ERR_TRUNCATED;
+      if (op + llen > expected_out) return SR_ERR_LENGTH_MISMATCH;
+      for (size_t i = 0; i < llen; i++)
+        src[op + i] = static_cast<uint32_t>(op + i);
+      ip += hdr + llen;
+      op += llen;
+      last_copy = false;
+      tail_off = 0;
+    } else {
+      size_t clen, offset;
+      if (kind == 1) {
+        if (ip + 2 > n) return SR_ERR_TRUNCATED;
+        clen = ((tag >> 2) & 0x7) + 4;
+        offset = (static_cast<size_t>(tag >> 5) << 8) | elems[ip + 1];
+        ip += 2;
+      } else if (kind == 2) {
+        if (ip + 3 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = elems[ip + 1] | (static_cast<size_t>(elems[ip + 2]) << 8);
+        ip += 3;
+      } else {
+        if (ip + 5 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = elems[ip + 1] | (static_cast<size_t>(elems[ip + 2]) << 8) |
+                 (static_cast<size_t>(elems[ip + 3]) << 16) |
+                 (static_cast<size_t>(elems[ip + 4]) << 24);
+        ip += 5;
+      }
+      if (offset == 0 || offset > op) return SR_ERR_BAD_OFFSET;
+      if (op + clen > expected_out) return SR_ERR_LENGTH_MISMATCH;
+      if (!last_copy || offset != last_off) run_start = op;
+      const size_t base = run_start - offset;
+      for (size_t p = op; p < op + clen; p++) {
+        const size_t plain = p - offset;
+        src[p] = static_cast<uint32_t>(
+            plain >= run_start ? (p - base) % offset + base : plain);
+      }
+      op += clen;
+      last_copy = true;
+      last_off = offset;
+      tail_off = offset;
+    }
+  }
+  if (op != expected_out) return SR_ERR_LENGTH_MISMATCH;
+  // Padding positions [ulen, 64K): the decoder's forward-filled element
+  // descriptors extend the FINAL element over the padded domain; these
+  // lanes participate in the moving counts and tile depths.
+  for (size_t p = op; p < kOut; p++) {
+    if (tail_off == 0) {
+      src[p] = static_cast<uint32_t>(p);
+    } else {
+      const size_t plain = p - tail_off;
+      const size_t base = run_start - tail_off;
+      src[p] = static_cast<uint32_t>(
+          plain >= run_start ? (p - base) % tail_off + base : plain);
+    }
+  }
+  // Dense doubling rounds: decode.py's cond is
+  //   (cnt > tail_cap) & (it < 16), cnt initialized above 64 K.
+  {
+    std::vector<uint32_t> nxt(kOut);
+    uint32_t cnt = kOut + 1;
+    for (int it = 0; cnt > tail_cap && it < 16; it++) {
+      cnt = 0;
+      for (size_t p = 0; p < kOut; p++) {
+        nxt[p] = src[src[p]];
+        cnt += (nxt[p] != src[p]);
+      }
+      src.swap(nxt);
+    }
+  }
+  // Per-tile local rounds to each tile's local fixpoint (tiledres
+  // semantics: only lanes whose pointer is inside the tile advance, and
+  // they gather from the tile's own current state).
+  const size_t nt = kOut / tile;
+  std::vector<uint32_t> s(tile), g(tile);
+  for (size_t t = 0; t < nt; t++) {
+    const uint32_t base = static_cast<uint32_t>(t * tile);
+    for (size_t i = 0; i < tile; i++) s[i] = src[base + i];
+    uint8_t rounds = 0;
+    for (;;) {
+      bool changed = false;
+      for (size_t i = 0; i < tile; i++) {
+        g[i] = s[i] >= base ? s[s[i] - base] : s[i];
+        changed |= (g[i] != s[i]);
+      }
+      if (!changed) break;
+      s.swap(g);
+      rounds++;
+    }
+    depths[t] = rounds;
+  }
+  return SR_OK;
+}
+
 int sr_scan_index(const uint8_t* in, size_t n, size_t start,
                   uint64_t expected_out, uint32_t* comp_off,
                   uint32_t* out_len, size_t max_frags, uint32_t* num_frags) {

@@ -80,6 +80,20 @@ int sr_root_map(const uint8_t* elems, size_t n, uint64_t expected_out,
                 uint8_t* piece_slope, size_t max_pieces,
                 uint32_t* num_pieces);
 
+// Per-tile resolve depth hints for the TPU decoder's tile-sequential
+// tail (the framed 0x81 "tpD1" sidecar, sidecar.py): simulates the
+// decoder's resolve pipeline on one element stream — one-step source map
+// with periodic-run collapse, pointer-doubling rounds while the moving
+// count exceeds tail_cap (capped at 16), then per-tile local doubling to
+// each tile's local fixpoint — and writes each tile's exact local round
+// count (65536/tile entries, depths fit u8: local depth <= log2(tile)).
+// The decoder then runs exactly depths[t] rounds per tile with no detect
+// body (tiledres.resolve_tiled_depth); a stale or wrong hint is caught
+// by the framed chunk CRC and the chunk falls back to the normal path.
+// Returns SR_OK or an error for malformed streams/capacity.
+int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
+                   uint32_t tail_cap, uint32_t tile, uint8_t* depths);
+
 // ---- Framing format (the official Snappy streaming container) ----
 // Spec: google/snappy framing_format.txt — chunked stream with per-chunk
 // CRC-32C (Castagnoli) checksums, masked as ((crc>>15)|(crc<<17))+0xa282ead8.

@@ -205,6 +205,110 @@ def test_auto_policy_gates_on_size():
     assert len(fr_auto) > len(fr_off)
 
 
+def _has_chunk(fr: bytes, typ: int) -> int:
+    n, ip = 0, len(framing.STREAM_ID)
+    while ip < len(fr):
+        if fr[ip] == typ:
+            n += 1
+        ip += 4 + int.from_bytes(fr[ip + 1: ip + 4], "little")
+    return n
+
+
+def test_depth_hint_fires_on_text_under_auto():
+    # Round-4: the auto policy must emit SOMETHING on dense text — the
+    # 28-byte 0x81 per-tile depth hint — and the hinted stream must decode
+    # bit-exactly (the hinted tail runs exactly the declared rounds).
+    if not corpus.has_reference_corpus():
+        pytest.skip("reference corpus not present")
+    data = corpus.load("all-mtg-cards.txt")[:131072]
+    fr = framing.compress(data, sidecar="auto")
+    assert _has_chunk(fr, framing.CHUNK_DEPTH) >= 1
+    assert _has_chunk(fr, framing.CHUNK_SIDECAR) == 0  # root map too big
+    assert framing.decompress(fr) == data
+    # foreign decoders skip 0x81 like any skippable chunk
+    from tpu_snappy.native import golden as g
+    assert g.uncompress_framed(fr, max_out=len(data) + 16) == data
+    # and the hint is tiny: auto costs ~28+4 bytes per text chunk
+    fr_off = framing.compress(data, sidecar="off")
+    assert len(fr) - len(fr_off) <= 40 * (len(data) // 65536 + 1)
+
+
+def test_depth_hint_native_matches_pipeline_truth():
+    # The native simulator must reproduce the decoder's exact per-tile
+    # local depths (dense rounds at TAIL_CAP + tile-local doubling).
+    import jax
+    import jax.numpy as jnp
+    from tpu_snappy.native import golden as g
+    from tpu_snappy.ops import decode as D
+    data = (b"the cat sat on the mat and a dog sat on the log too " * 1300
+            )[:65536]
+    comp = api.compress(data, small_fastpath=False)
+    total, start = fmt.varint_decode(comp)
+    elems = comp[start:]
+    native = g.depth_hints(elems, total, D.TAIL_CAP, D.TAIL_TILE)
+    w = max(8192, -(-(len(elems) + 8) // 8192) * 8192)
+    cc = np.zeros(w, np.uint8)
+    cc[: len(elems)] = np.frombuffer(elems, np.uint8)
+    _lit, src, ok = jax.jit(D.parse_transport)(
+        jnp.asarray(cc), jnp.int32(len(elems)), jnp.int32(total))
+    assert bool(ok)
+    s = np.asarray(src)
+    cnt, it = D.OUT + 1, 0
+    while cnt > D.TAIL_CAP and it < 16:
+        s2 = s[s]
+        cnt = int((s2 != s).sum())
+        s, it = s2, it + 1
+    for t in range(D.OUT // D.TAIL_TILE):
+        base = t * D.TAIL_TILE
+        st = s[base: base + D.TAIL_TILE].copy()
+        r = 0
+        while True:
+            gnext = np.where(st >= base,
+                             st[np.clip(st - base, 0, D.TAIL_TILE - 1)], st)
+            if (gnext == st).all():
+                break
+            st, r = gnext, r + 1
+        assert int(native[t]) == r, t
+
+
+def test_corrupt_depth_hint_falls_back():
+    # Under-declared depths yield wrong bytes -> chunk CRC catches it ->
+    # normal-path fallback; over-declared depths only waste rounds.
+    if not corpus.has_reference_corpus():
+        pytest.skip("reference corpus not present")
+    data = corpus.load("all-mtg-cards.txt")[:65536]
+    for delta in (-3, +2):
+        fr = bytearray(framing.compress(data, sidecar="auto"))
+        ip = len(framing.STREAM_ID)
+        patched = 0
+        while ip < len(fr):
+            typ = fr[ip]
+            ln = int.from_bytes(fr[ip + 1: ip + 4], "little")
+            if typ == framing.CHUNK_DEPTH:
+                off = ip + 4 + 12  # first depth byte
+                fr[off] = max(0, fr[off] + delta)
+                patched += 1
+            ip += 4 + ln
+        assert patched
+        assert framing.decompress(bytes(fr)) == data
+
+
+def test_depth_hint_pipeline_mismatch_ignored():
+    # A hint computed for different pipeline constants must parse to None
+    # and route the chunk through the normal path.
+    data = (b"ab" * 40000)[:65536]
+    comp = api.compress(data, small_fastpath=False)
+    total, start = fmt.varint_decode(comp)
+    payload = bytearray(sidecar.build_depth(comp[start:], total) or b"")
+    if payload:
+        good = sidecar.parse_depth(bytes(payload))
+        assert good is not None
+        payload[4] ^= 1  # tail_cap mismatch
+        assert sidecar.parse_depth(bytes(payload)) is None
+    assert sidecar.parse_depth(b"tpD1" + b"\0" * 8) is None
+    assert sidecar.parse_depth(b"") is None
+
+
 def test_corrupt_sidecar_is_only_a_hint():
     mix = _mix()
     fr = bytearray(framing.compress(mix, sidecar="always"))

@@ -54,7 +54,7 @@ def main():
     devs = jax.devices()
     data = corpus.load("all-mtg-cards.txt")
 
-    sizes = sorted({1, 2, len(devs) // 2, len(devs)} - {0})
+    sizes = [n for n in (1, 2, 4, 8, 16, 32, 64) if n <= len(devs)]
     base = None
     rows = []
     for nd in sizes:
@@ -69,10 +69,19 @@ def main():
         ss = meshlib.scalar_sharding(m)
         bd = jax.device_put(arr, bs)
         ld = jax.device_put(lengths, ss)
-        f = jax.jit(
-            lambda b, l: ops_encode.encode_blocks(b, l, DEFAULT_CONFIG),
-            in_shardings=(bs, ss),
-            out_shardings=(bs, meshlib.replicated(m)))
+        # shard_map + per-device lax.map waves (the production DP form,
+        # shard._encode_fn): compile cost is block-count-independent (the
+        # flat vmap form exceeded 10 min of XLA compile at 256 blocks)
+        # and devices run their local waves in parallel (a plain jitted
+        # lax.map would serialize the wave axis across devices).
+        from jax.sharding import PartitionSpec as P
+        axis = DEFAULT_CONFIG.dp_axis
+        local = jax.shard_map(
+            lambda b, l: ops_encode.encode_corpus(b, l, DEFAULT_CONFIG,
+                                                  wave=8),
+            mesh=m, in_specs=(P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(axis)), check_vma=False)
+        f = jax.jit(local, out_shardings=(bs, meshlib.replicated(m)))
         out, lens = f(bd, ld)  # compile + correctness
         comp = fmt.varint_encode(len(raw)) + b"".join(
             np.asarray(out)[i, : np.asarray(lens)[i]].tobytes()
@@ -88,17 +97,35 @@ def main():
         # the replicated manifest out-sharding (shard.py). Re-time with
         # the manifest left block-sharded (no gather) — the delta IS the
         # communication cost of the scaling model.
-        f_ns = jax.jit(
-            lambda b, l: ops_encode.encode_blocks(b, l, DEFAULT_CONFIG),
-            in_shardings=(bs, ss),
-            out_shardings=(bs, ss))
+        f_ns = jax.jit(local, out_shardings=(bs, ss))
         f_ns(bd, ld)
         t_ns = device_bench(f_ns, bd, ld, iters=args.iters)
         ag_frac = max(0.0, (t - t_ns) / t)
+        # Work-normalized control (round 4): the raw efficiency column on
+        # a shared-socket CPU mesh confounds sharding overhead with
+        # compute contention. Run the SAME total work unsharded on a
+        # 1-device mesh (both forms use the full socket via XLA's
+        # intra-op threads): t_flat / t isolates what the sharded program
+        # itself adds (partitioning + the manifest all-gather) from the
+        # contention artifact.
+        m1 = meshlib.make_mesh(1)
+        bs1, ss1 = meshlib.block_sharding(m1), meshlib.scalar_sharding(m1)
+        bd1 = jax.device_put(arr, bs1)
+        ld1 = jax.device_put(lengths, ss1)
+        local1 = jax.shard_map(
+            lambda b, l: ops_encode.encode_corpus(b, l, DEFAULT_CONFIG,
+                                                  wave=8),
+            mesh=m1, in_specs=(P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(axis)), check_vma=False)
+        f_flat = jax.jit(local1,
+                         out_shardings=(bs1, meshlib.replicated(m1)))
+        f_flat(bd1, ld1)
+        t_flat = device_bench(f_flat, bd1, ld1, iters=args.iters)
         rows.append({"devices": nd, "GBps": round(gbps, 4),
                      "GBps_per_chip": round(per_chip, 4),
                      "efficiency": round(per_chip / base, 4),
-                     "manifest_allgather_frac": round(ag_frac, 4)})
+                     "manifest_allgather_frac": round(ag_frac, 4),
+                     "work_normalized_eff": round(t_flat / t, 4)})
         print(json.dumps(rows[-1]), flush=True)
 
     eff = rows[-1]["efficiency"] if rows else 0.0

@@ -27,9 +27,12 @@ CHUNK_STREAM_ID = 0xFF
 CHUNK_COMPRESSED = 0x00
 CHUNK_UNCOMPRESSED = 0x01
 CHUNK_PADDING = 0xFE
-#: Skippable (0x80-0xfd) chunk carrying our decode sidecar (sidecar.py);
-#: foreign decoders MUST ignore it per spec §4.4.
+#: Skippable (0x80-0xfd) chunks carrying our decode sidecars (sidecar.py);
+#: foreign decoders MUST ignore them per spec §4.4. 0x80 = full root map
+#: (skip parse+resolve entirely); 0x81 = per-tile depth hints (28 bytes —
+#: cheap enough that "auto" emits it on every compressed text chunk).
 CHUNK_SIDECAR = 0x80
+CHUNK_DEPTH = 0x81
 
 STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
 
@@ -124,18 +127,26 @@ def unmask(m: int) -> int:
 def _sidecar_chunk(elems: bytes, blen: int, policy: str) -> bytes:
     """Sidecar chunk bytes for one compressed chunk (b'' when the policy
     declines or the stream is unrepresentable). policy: 'off'|'auto'|
-    'always' — auto emits only under SIDECAR_AUTO_FRAC of the chunk's
-    uncompressed size."""
+    'always' — 'always' emits the full 0x80 root map wherever
+    representable; 'auto' emits the best hint under SIDECAR_AUTO_FRAC of
+    the chunk's uncompressed size: the root map where it fits (RLE/
+    near-incompressible chunks) and otherwise the 28-byte 0x81 per-tile
+    depth hint (dense text — where the root map costs more than the
+    payload, DESIGN.md round-3). Both fall through to the depth hint when
+    the root map is unrepresentable."""
     if policy == "off":
         return b""
     from . import sidecar as sc
     payload = sc.build(elems, blen)
-    if payload is None:
-        return b""
-    if policy == "auto" and len(payload) + 4 > SIDECAR_AUTO_FRAC * blen:
-        return b""
-    return (bytes([CHUNK_SIDECAR]) + len(payload).to_bytes(3, "little")
-            + payload)
+    if payload is not None and (
+            policy == "always"
+            or len(payload) + 4 <= SIDECAR_AUTO_FRAC * blen):
+        return (bytes([CHUNK_SIDECAR]) + len(payload).to_bytes(3, "little")
+                + payload)
+    dp = sc.build_depth(elems, blen)
+    if dp is not None and len(dp) + 4 <= SIDECAR_AUTO_FRAC * blen:
+        return (bytes([CHUNK_DEPTH]) + len(dp).to_bytes(3, "little") + dp)
+    return b""
 
 
 def compress(data: bytes, cfg: CodecConfig = DEFAULT_CONFIG,
@@ -314,9 +325,9 @@ def _parse_chunks(framed: bytes):
             if ln < 4:
                 raise ValueError("data chunk shorter than its checksum")
             chunks.append((typ, ip, ln))
-        elif typ == CHUNK_SIDECAR:
-            # Our fast-decode sidecar (skippable for everyone else):
-            # carried through so the decoder can pair it with the data
+        elif typ in (CHUNK_SIDECAR, CHUNK_DEPTH):
+            # Our fast-decode sidecars (skippable for everyone else):
+            # carried through so the decoder can pair them with the data
             # chunk that follows.
             chunks.append((typ, ip, ln))
         elif typ == CHUNK_PADDING or typ >= 0x80:
@@ -406,6 +417,90 @@ def _decode_sidecar_chunks(bodies, side_for, comp_idx, out_parts,
     return rest
 
 
+def _decode_hinted_chunks(bodies, depth_for, comp_idx, out_parts,
+                          cfg: CodecConfig = DEFAULT_CONFIG, mesh=None):
+    """Depth-hinted decode of compressed chunks carrying a usable 0x81
+    hint (sidecar.parse_depth validates the hint's pipeline constants).
+    The device runs the normal fragment decoder with per-tile tail round
+    counts instead of detect loops; the chunk CRC gates every byte, so a
+    wrong hint only costs a re-decode on the normal path. Returns the
+    indices still needing the normal decoder."""
+    from . import api
+    from . import sidecar as sc
+    from .ops import decode as ops_decode
+
+    jobs = []  # (chunk index, payload bytes, ulen, depths)
+    rest = []
+    for i in comp_idx:
+        body = bodies[i][1]
+        job = None
+        if i in depth_for:
+            try:
+                ulen, vstart = fmt.varint_decode(body[4:])
+            except ValueError:
+                ulen, vstart = None, 0
+            payload = body[4 + vstart:]
+            if (ulen is not None and 0 < ulen <= MAX_CHUNK
+                    and len(payload) <= ops_decode.FRAG_CAP):
+                d = sc.parse_depth(depth_for[i])
+                if d is not None:
+                    job = (i, payload, int(ulen), d)
+        if job is None:
+            rest.append(i)
+        else:
+            jobs.append(job)
+    if not jobs:
+        return rest
+
+    B = len(jobs)
+    clens = np.asarray([len(j[1]) for j in jobs], np.int32)
+    ulens = np.asarray([j[2] for j in jobs], np.int32)
+    w = ops_decode.frag_width(clens)
+    frags = np.zeros((B, w), np.uint8)
+    deps = np.zeros((B, len(jobs[0][3])), np.int32)
+    for j, (_i, payload, _u, d) in enumerate(jobs):
+        frags[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+        deps[j] = d
+    if mesh is not None:
+        import jax
+
+        from .parallel import mesh as meshlib, shard
+        ndev = mesh.devices.size
+        per_dev = -(-B // ndev)
+        wave = min(shard.DP_WAVE, per_dev)
+        padded = (-(-per_dev // wave) * wave) * ndev
+        fr = np.pad(frags, ((0, padded - B), (0, 0)))
+        cl = np.pad(clens, (0, padded - B))
+        ul = np.pad(ulens, (0, padded - B))
+        dp = np.pad(deps, ((0, padded - B), (0, 0)))
+        bs = meshlib.block_sharding(mesh, cfg.dp_axis)
+        ss = meshlib.scalar_sharding(mesh, cfg.dp_axis)
+        out, ok = shard._decode_depth_fn(mesh, cfg.dp_axis, wave)(
+            jax.device_put(fr, bs), jax.device_put(cl, ss),
+            jax.device_put(ul, ss), jax.device_put(dp, bs))
+        out, ok = shard.fetch_global(out)[:B], np.asarray(ok)[:B]
+    elif B > api.API_WAVE:
+        pad = -B % api.API_WAVE
+        out, ok = ops_decode.decode_corpus_depth(
+            np.pad(frags, ((0, pad), (0, 0))), np.pad(clens, (0, pad)),
+            np.pad(ulens, (0, pad)), np.pad(deps, ((0, pad), (0, 0))),
+            wave=api.API_WAVE)
+        out, ok = np.asarray(out)[:B], np.asarray(ok)[:B]
+    else:
+        out, ok = ops_decode.decode_fragments_depth_jit(
+            frags, clens, ulens, deps)
+        out, ok = np.asarray(out), np.asarray(ok)
+    for j, (i, _payload, ulen, _d) in enumerate(jobs):
+        piece = out[j, :ulen].tobytes()
+        want = unmask(int.from_bytes(bodies[i][1][:4], "little"))
+        if ok[j] and crc32c(piece) == want:
+            out_parts[i] = piece
+        else:
+            rest.append(i)  # settle on the normal path (raises if corrupt)
+    rest.sort()
+    return rest
+
+
 def _decode_data_chunks(bodies: list[tuple[int, bytes]],
                         cfg: CodecConfig, mesh,
                         use_sidecar: bool = True) -> list[bytes]:
@@ -427,24 +522,33 @@ def _decode_data_chunks(bodies: list[tuple[int, bytes]],
 
     out_parts: list[bytes | None] = [None] * len(bodies)
 
-    # Pair each sidecar with the compressed data chunk that follows it.
+    # Pair each sidecar/depth-hint with the compressed data chunk that
+    # follows it.
     side_for: dict[int, bytes] = {}
-    pending = None
+    depth_for: dict[int, bytes] = {}
+    pending_s = pending_d = None
     for i, (t, b) in enumerate(bodies):
         if t == CHUNK_SIDECAR:
-            pending = b
+            pending_s = b
+        elif t == CHUNK_DEPTH:
+            pending_d = b
         elif t == CHUNK_COMPRESSED:
-            if pending is not None:
-                side_for[i] = pending
-            pending = None
+            if pending_s is not None:
+                side_for[i] = pending_s
+            if pending_d is not None:
+                depth_for[i] = pending_d
+            pending_s = pending_d = None
         elif t == CHUNK_UNCOMPRESSED:
-            pending = None
+            pending_s = pending_d = None
 
     comp_idx = [i for i, (t, _) in enumerate(bodies)
                 if t == CHUNK_COMPRESSED]
     if use_sidecar and side_for:
         comp_idx = _decode_sidecar_chunks(bodies, side_for, comp_idx,
                                           out_parts, cfg, mesh)
+    if use_sidecar and depth_for:
+        comp_idx = _decode_hinted_chunks(bodies, depth_for, comp_idx,
+                                         out_parts, cfg, mesh)
 
     if comp_idx:
         clens = np.zeros(len(comp_idx), np.int32)
@@ -578,7 +682,7 @@ def decompress_stream(src, dst, mesh=None, chunks_per_wave: int = 64,
             # a window boundary away from the chunk it describes.
             if ndata >= chunks_per_wave:
                 flush()
-        elif typ == CHUNK_SIDECAR:
+        elif typ in (CHUNK_SIDECAR, CHUNK_DEPTH):
             window.append((typ, body))
         elif typ == CHUNK_PADDING or typ >= 0x80:
             pass  # skippable

@@ -83,6 +83,12 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32),
             ]
+            lib.sr_depth_hints.restype = ctypes.c_int
+            lib.sr_depth_hints.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+                ctypes.c_uint32, ctypes.c_uint32,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.sr_crc32c.restype = ctypes.c_uint32
             lib.sr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
             lib.sr_max_framed_length.restype = ctypes.c_size_t
@@ -162,6 +168,21 @@ def root_map(elems: bytes, ulen: int):
     return (np.frombuffer(starts, dtype=np.uint16)[:p].copy(),
             np.frombuffer(roots, dtype=np.uint16)[:p].copy(),
             np.frombuffer(slopes, dtype=np.uint8)[:p].copy())
+
+
+def depth_hints(elems: bytes, ulen: int, tail_cap: int, tile: int):
+    """Per-tile resolve depth hints for one element stream (the framed
+    0x81 sidecar; see sr_depth_hints). Returns a (65536//tile,) uint8
+    numpy array. Raises RuntimeError on malformed streams/capacity."""
+    import numpy as np
+
+    lib = _load()
+    nt = 65536 // tile
+    out = (ctypes.c_uint8 * nt)()
+    rc = lib.sr_depth_hints(elems, len(elems), ulen, tail_cap, tile, out)
+    if rc:
+        raise RuntimeError(f"depth_hints: {_ERRORS.get(rc, rc)}")
+    return np.frombuffer(out, dtype=np.uint8).copy()
 
 
 def compress_framed(data: bytes, mode: int = MODE_BASELINE) -> bytes:

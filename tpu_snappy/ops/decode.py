@@ -272,7 +272,8 @@ def parse_transport(c: jax.Array, clen: jax.Array, ulen: jax.Array,
 
 def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
                     resolve: str = "auto", fields: str = "auto",
-                    collapse_runs: bool = True):
+                    collapse_runs: bool = True,
+                    depths: jax.Array | None = None):
     """Decode one fragment. c: (FRAG_CAP,) uint8 zero-padded; clen/ulen scalars.
     resolve: copy-chain strategy — "auto" (TPU: "tiledtail", else
     "hybrid"), "tiledtail" (adaptive dense rounds + tile-sequential tail
@@ -340,6 +341,31 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         out = tiledres.resolve_tiled(
             lit_out, src, resolved=cnt == 0,
             tile=TAIL_TILE, variant=TAIL_VARIANT).astype(jnp.uint8)
+    elif resolve == "depthtail":
+        # Depth-hinted tail (the framed 0x81 sidecar, sidecar.build_depth):
+        # identical dense rounds, then exactly depths[t] local rounds per
+        # tile — no detect body, no flag plane (tail 421 -> 328.5 us/frag
+        # measured on mtg, r4_depthtail3). depths MUST each be >= the
+        # tile's true local depth for THIS pipeline (tail_cap/tile/
+        # collapse); an under-declared hint yields wrong bytes, which the
+        # framed chunk CRC catches (framing falls back to the normal
+        # path) — raw streams cannot carry hints, so this mode is only
+        # reachable through the framed container's CRC gate.
+        from .pallas import tiledres
+
+        def dense_cond(c):
+            _s, cnt, it = c
+            return (cnt > TAIL_CAP) & (it < 16)
+
+        def dense_body(c):
+            s, _cnt, it = c
+            s2 = _gather_out(s, s)
+            return s2, jnp.sum((s2 != s).astype(jnp.int32)), it + 1
+
+        src, _cnt, _ = jax.lax.while_loop(
+            dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
+        out = tiledres.resolve_tiled_depth(
+            lit_out, src, depths, tile=TAIL_TILE).astype(jnp.uint8)
     elif resolve == "flagtail":
         # tiledtail + exact per-lane resolution flags: the round-3 census
         # measured one quiet DETECT body per tile (16 x 5.6 us/frag — the
@@ -581,6 +607,40 @@ def decode_fragments_jit(frags: jax.Array, clens: jax.Array,
         lambda c, cl, ul: decode_fragment(c, cl, ul, resolve, fields,
                                           collapse_runs)
     )(frags, clens, ulens)
+
+
+@functools.partial(jax.jit, static_argnames=("fields", "collapse_runs"))
+def decode_fragments_depth_jit(frags: jax.Array, clens: jax.Array,
+                               ulens: jax.Array, depths: jax.Array,
+                               fields: str = "auto",
+                               collapse_runs: bool = True):
+    """Depth-hinted batch decode: depths (B, 65536//TAIL_TILE) int32 per
+    fragment (see decode_fragment resolve='depthtail')."""
+    return jax.vmap(
+        lambda c, cl, ul, d: decode_fragment(c, cl, ul, "depthtail",
+                                             fields, collapse_runs, d)
+    )(frags, clens, ulens, depths)
+
+
+@functools.partial(jax.jit, static_argnames=("fields", "collapse_runs",
+                                             "wave"))
+def decode_corpus_depth(frags: jax.Array, clens: jax.Array,
+                        ulens: jax.Array, depths: jax.Array,
+                        fields: str = "auto", collapse_runs: bool = True,
+                        wave: int = 8):
+    """Wave-mapped depth-hinted decode (the decode_corpus sibling)."""
+    nf = frags.shape[0]
+    assert nf % wave == 0, "pad the fragment count to a wave multiple"
+    fw = frags.reshape(nf // wave, wave, frags.shape[-1])
+    cw = clens.reshape(nf // wave, wave)
+    uw = ulens.reshape(nf // wave, wave)
+    dw = depths.reshape(nf // wave, wave, depths.shape[-1])
+    out, ok = jax.lax.map(
+        lambda t: jax.vmap(
+            lambda c, cl, ul, d: decode_fragment(
+                c, cl, ul, "depthtail", fields, collapse_runs, d))(*t),
+        (fw, cw, uw, dw))
+    return out.reshape(nf, -1), ok.reshape(nf)
 
 
 def fragment_table(comp: bytes, start: int, total: int):

@@ -136,6 +136,25 @@ def _decode_sidecar_fn(mesh, axis: str = "dp", wave: int = DP_WAVE,
 
 
 @functools.lru_cache(maxsize=8)
+def _decode_depth_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
+    """Sharded depth-hinted decode (framing 0x81 chunks): the normal
+    fragment decoder with per-tile tail round counts (decode.py
+    resolve='depthtail'), chunk-independent like everything else."""
+    from jax.sharding import PartitionSpec as P
+    local = jax.shard_map(
+        lambda f, c, u, d: ops_decode.decode_corpus_depth(f, c, u, d,
+                                                          wave=wave),
+        mesh=mesh, in_specs=(P(axis, None), P(axis), P(axis),
+                             P(axis, None)),
+        out_specs=(P(axis, None), P(axis)), check_vma=False)
+    return jax.jit(
+        local,
+        out_shardings=(meshlib.block_sharding(mesh, axis),
+                       meshlib.replicated(mesh)),
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _decode_fn(mesh, axis: str = "dp", wave: int = DP_WAVE):
     from jax.sharding import PartitionSpec as P
     local = jax.shard_map(

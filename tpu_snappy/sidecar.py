@@ -49,6 +49,54 @@ MAGIC = b"tpS1"
 #: skippable use by the spec; foreign decoders ignore it by requirement).
 CHUNK_TYPE = 0x80
 
+#: Round-4 partial hint (the text-viable co-design point): a 0x81
+#: skippable chunk carrying the decoder's PER-TILE tail round counts —
+#: 65536/TAIL_TILE = 16 bytes + a 12-byte header, so the "auto" policy
+#: emits it on EVERY compressed text chunk (the full tpS1 root map costs
+#: +417% of payload there). The decoder's tile loops then run exactly
+#: their productive depth with no detect body: measured tail 421 -> 328.5
+#: us/frag on mtg (r4_depthtail3, bit-identical). This is also the
+#: measured CEILING of any partial hint: the remaining tail work is the
+#: doubling itself, and replacing THAT needs root-map-class information
+#: (~40 KB/chunk entropy floor — DESIGN.md round-3). Wrong/stale hints
+#: are caught by the framed chunk CRC (fallback to the normal path); a
+#: hint whose (tail_cap, tile, flags) don't match this decoder's
+#: pipeline constants is ignored outright.
+DEPTH_CHUNK_TYPE = 0x81
+DEPTH_MAGIC = b"tpD1"
+
+
+def build_depth(elems: bytes, ulen: int) -> bytes | None:
+    """Depth-hint payload for one compressed chunk, or None when the
+    native simulator is unavailable or the stream is malformed."""
+    from .ops import decode as D
+    if ulen <= 0 or ulen > OUT or len(elems) > 0xFFFF:
+        return None
+    try:
+        from .native import golden
+        d = golden.depth_hints(elems, ulen, D.TAIL_CAP, D.TAIL_TILE)
+    except (ImportError, OSError, RuntimeError):
+        return None
+    return (DEPTH_MAGIC + np.uint32(D.TAIL_CAP).tobytes()
+            + np.uint16(D.TAIL_TILE).tobytes()
+            + bytes([len(d) & 0xFF, 1]) + d.tobytes())
+
+
+def parse_depth(payload: bytes):
+    """Unpack a depth-hint payload -> (nt,) int32 numpy array, or None if
+    malformed/foreign or computed for a different decode pipeline
+    (tail_cap/tile/flags mismatch — the chunk is skippable, so 'ignore')."""
+    from .ops import decode as D
+    if len(payload) < 12 or payload[:4] != DEPTH_MAGIC:
+        return None
+    cap = int(np.frombuffer(payload[4:8], "<u4")[0])
+    tile = int(np.frombuffer(payload[8:10], "<u2")[0])
+    nt, flags = payload[10], payload[11]
+    if (cap != D.TAIL_CAP or tile != D.TAIL_TILE or flags != 1
+            or nt != (OUT // tile) & 0xFF or len(payload) != 12 + nt):
+        return None
+    return np.frombuffer(payload[12:], np.uint8).astype(np.int32)
+
 #: Decode-side piece-length cap: splitting every piece to <= SPLIT_LEN
 #: bytes bounds any 1024 consecutive scatter sources to a span of
 #: 1024 * SPLIT_LEN + 1024 slop cells, so the windowed scatter runs with
