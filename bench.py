@@ -314,6 +314,39 @@ def main():
     except Exception as e:
         log(f"foreign decode bench unavailable: {e}")
 
+    # Depth-hinted decode (framed 0x81 tpD1 co-design, round 4): the
+    # 28-byte per-chunk hint the AUTO policy emits on text — same decode
+    # pipeline, but each tile runs exactly its declared tail rounds (no
+    # detect bodies). Bit-identical output; hints cost ~0.12% of stream.
+    hinted_gbps = None
+    try:
+        from tpu_snappy import sidecar as sc_
+        deps = np.zeros((nf + pad, ops_decode.OUT // ops_decode.TAIL_TILE),
+                        np.int32)
+        for i in range(nf):
+            deps[i] = golden.depth_hints(
+                frags[i, : clens[i]].tobytes(), int(ulens[i]),
+                ops_decode.TAIL_CAP, ops_decode.TAIL_TILE)
+        dd_h = jax.device_put(deps)
+        dec_h = jax.jit(lambda f, c, u, d: ops_decode.decode_corpus_depth(
+            f, c, u, d, wave=DEC_WAVE))
+        outs_h, oks_h = dec_h(fd, cd, ud, dd_h)
+        hint_exact = bool(np.asarray(oks_h)[:nf].all()) and bool(
+            (np.asarray(outs_h)[:nf]
+             == np.asarray(dec(fd, cd, ud)[0])[:nf]).all())
+        for _ in range(2):
+            last = dec_h(fd, cd, ud, dd_h)[1]
+        np.asarray(jnp.ravel(last)[0])
+        t0 = time.time()
+        for _ in range(ITERS):
+            last = dec_h(fd, cd, ud, dd_h)[1]
+        np.asarray(jnp.ravel(last)[0])
+        hinted_gbps = n * ITERS / (time.time() - t0) / 1e9
+        log(f"decode depth-hinted (auto-policy 0x81 sidecar): "
+            f"{hinted_gbps:.3f} GB/s/chip identical={hint_exact}")
+    except Exception as e:
+        log(f"depth-hinted decode bench unavailable: {e}")
+
     # Sidecar fast-decode (framed co-design, sidecar.py): the skippable
     # 0x80 chunk carries the resolved root map, so the device skips parse,
     # transport AND resolve — one windowed scatter + ffill + byte gather.
@@ -380,6 +413,7 @@ def main():
         "encode_fast_GBps": round(fast_gbps, 4) if fast_gbps else None,
         "encode_fast_ratio_vs_snappy": fast_ratio,
         "decode_foreign_GBps": round(foreign_gbps, 4) if foreign_gbps else None,
+        "decode_hinted_GBps": round(hinted_gbps, 4) if hinted_gbps else None,
         "decode_sidecar_GBps": round(sidecar_gbps, 4) if sidecar_gbps else None,
         "sidecar_overhead_vs_payload": round(sidecar_frac, 4)
         if sidecar_frac is not None else None,

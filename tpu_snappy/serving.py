@@ -125,11 +125,11 @@ class CodecServer:
         self._max_wait = max_wait_ms / 1e3
         self._max_pending = max_pending
         self._lock = threading.Condition()
-        # Separate queues per kind: the encode, decode, and sidecar-decode
-        # graphs differ, so a wave is single-kind. Entries:
-        # (request, unit_idx, *unit data).
+        # Separate queues per kind: the encode, decode, sidecar-decode and
+        # depth-hinted-decode graphs differ, so a wave is single-kind.
+        # Entries: (request, unit_idx, *unit data).
         self._q: dict[str, deque] = {"enc": deque(), "dec": deque(),
-                                     "scd": deque()}
+                                     "scd": deque(), "dcd": deque()}
         self._closing = False
         self.stats = ServerStats()
         import jax
@@ -255,20 +255,25 @@ class CodecServer:
             return fut
         datach = []   # (type, body) data chunks, in order
         side = []     # parallel: sidecar payload bytes or None
-        pending = None
+        depth = []    # parallel: depth-hint payload bytes or None
+        pend_s = pend_d = None
         for t, off, ln in chunks:
             body = framed[off: off + ln]
             if t == framing.CHUNK_SIDECAR:
-                pending = body
+                pend_s = body
+            elif t == framing.CHUNK_DEPTH:
+                pend_d = body
             elif t == framing.CHUNK_COMPRESSED:
                 datach.append((t, body))
-                side.append(pending)
-                pending = None
+                side.append(pend_s)
+                depth.append(pend_d)
+                pend_s = pend_d = None
             elif t == framing.CHUNK_UNCOMPRESSED:
                 datach.append((t, body))
                 side.append(None)
-                pending = None
-        dec_units, scd_units, over_ids = [], [], []
+                depth.append(None)
+                pend_s = pend_d = None
+        dec_units, scd_units, dcd_units, over_ids = [], [], [], []
         for i, (t, body) in enumerate(datach):
             if t != framing.CHUNK_COMPRESSED:
                 continue
@@ -289,9 +294,15 @@ class CodecServer:
                 parsed = sc.parse(side[i])
                 if parsed is not None:
                     sv = sc.prep_parent(*parsed, int(ulen))
+            dh = None
+            if (sv is None and depth[i] is not None
+                    and len(payload) <= ops_decode.FRAG_CAP):
+                dh = sc.parse_depth(depth[i])
             if sv is not None:
                 scd_units.append((i, payload, int(ulen), sv[0], sv[1],
                                   sv[2]))
+            elif dh is not None:
+                dcd_units.append((i, payload, len(payload), int(ulen), dh))
             elif len(payload) > ops_decode.FRAG_CAP:
                 # Spec-valid but beyond the device fragment capacity (an
                 # adversarial all-literal 64 KB chunk compresses to
@@ -302,7 +313,8 @@ class CodecServer:
                 over_ids.append(i)
             else:
                 dec_units.append((i, payload, len(payload), int(ulen)))
-        n_units = len(dec_units) + len(scd_units) + len(over_ids)
+        n_units = (len(dec_units) + len(scd_units) + len(dcd_units)
+                   + len(over_ids))
         req = _Request("decf", max(1, n_units),
                        sum(len(b) - 4 for _t, b in datach))
         req.chunks = datach
@@ -315,10 +327,11 @@ class CodecServer:
             return req.future
         req.oks = [True] * n_units
         req.chunk_ids = ([u[0] for u in dec_units]
-                         + [u[0] for u in scd_units] + over_ids)
+                         + [u[0] for u in scd_units]
+                         + [u[0] for u in dcd_units] + over_ids)
         # Settle oversize chunks up front (host path at assembly); when
         # every unit is oversize this resolves the request inline.
-        base = len(dec_units) + len(scd_units)
+        base = len(dec_units) + len(scd_units) + len(dcd_units)
         for j in range(len(over_ids)):
             req.oks[base + j] = False
             if req.deliver(base + j, b""):
@@ -337,6 +350,10 @@ class CodecServer:
                 self._q["scd"].append(
                     (req, len(dec_units) + j,
                      np.frombuffer(payload, np.uint8), ul, s2, vals, wr))
+            for j, (_i, payload, cl, ul, dh) in enumerate(dcd_units):
+                self._q["dcd"].append(
+                    (req, len(dec_units) + len(scd_units) + j,
+                     np.frombuffer(payload, np.uint8), cl, ul, dh))
             self._lock.notify_all()
         return req.future
 
@@ -469,6 +486,8 @@ class CodecServer:
                     self._dispatch_encode(units)
                 elif kind == "scd":
                     self._dispatch_sidecar(units)
+                elif kind == "dcd":
+                    self._dispatch_decode_hinted(units)
                 else:
                     self._dispatch_decode(units)
             except Exception as e:  # device-level failure: fail the wave
@@ -553,6 +572,38 @@ class CodecServer:
                     self._settle_spliced(req)
                 else:
                     self._resolve(req, b"".join(req.parts))
+
+    def _dispatch_decode_hinted(self, units):
+        """Depth-hinted framed decode wave (0x81 tpD1 hints): the normal
+        fragment decode graph with per-tile tail round counts — no detect
+        bodies (decode.py resolve='depthtail'). A wrong hint yields wrong
+        bytes, which _assemble_framed's per-chunk CRC catches (host
+        re-decode); the hint is never trusted."""
+        W = self._wave
+        clens = np.zeros(W, np.int32)
+        ulens = np.zeros(W, np.int32)
+        nt = ops_decode.OUT // ops_decode.TAIL_TILE
+        deps = np.zeros((W, nt), np.int32)
+        for j, (_req, _i, _frag, cl, ul, dh) in enumerate(units):
+            clens[j] = cl
+            ulens[j] = ul
+            deps[j] = dh
+        width = ops_decode.frag_width(clens)
+        frags = np.zeros((W, width), np.uint8)
+        for j, (_req, _i, frag, cl, _ul, _dh) in enumerate(units):
+            frags[j, :cl] = frag[:cl]
+        out, ok = ops_decode.decode_fragments_depth_jit(
+            frags, clens, ulens, deps)
+        out, ok = np.asarray(out), np.asarray(ok)
+        for j, (req, i, _frag, _cl, ul, _dh) in enumerate(units):
+            if not ok[j]:
+                req.failed = True
+                req.oks[i] = False
+            if req.deliver(i, out[j, :ul].tobytes()):
+                try:
+                    self._resolve(req, self._assemble_framed(req))
+                except ValueError as e:
+                    self._resolve(req, exc=e)
 
     def _dispatch_sidecar(self, units):
         """Sidecar fast-decode wave: units are framed chunks whose 0x80
