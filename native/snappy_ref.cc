@@ -6,6 +6,7 @@
 
 #include "snappy_ref.h"
 
+#include <algorithm>
 #include <cstring>
 #include <vector>
 
@@ -331,23 +332,19 @@ int sr_root_map(const uint8_t* elems, size_t n, uint64_t expected_out,
   return SR_OK;
 }
 
-int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
-                   uint32_t tail_cap, uint32_t tile, uint8_t* depths) {
-  // Mirrors tpu_snappy/ops/decode.py exactly (parse_transport's collapsed
-  // one-step source map over the FULL padded 64 KB domain, the dense
-  // while-loop's cond, and tiledres' per-tile local rounds) — the hint is
-  // only valid for the pipeline it simulates, so the sidecar payload
-  // carries (tail_cap, tile) and the decoder checks them.
+// One-step collapsed source map over the FULL padded 64 KB domain —
+// parse_transport's semantics (tpu_snappy/ops/decode.py: element walk,
+// run-head collapse with modular RLE addressing, and the forward-filled
+// final element extending over the padding). Shared by both depth-hint
+// builders below. Values satisfy src[p] <= p (roots: src[p] == p), so a
+// single ascending pass can compute chain properties.
+static int sr_build_onestep_map(const uint8_t* elems, size_t n,
+                                uint64_t expected_out, uint16_t* src) {
   constexpr uint32_t kOut = 1u << 16;
-  if (expected_out == 0 || expected_out > kBlockSize || n > 0xffff)
-    return SR_ERR_CAPACITY;
-  if (tile == 0 || (kOut % tile) != 0 || (tile % 128) != 0)
-    return SR_ERR_CAPACITY;
-  std::vector<uint32_t> src(kOut);
   size_t ip = 0, op = 0;
-  // Element walk -> collapsed one-step map. run_start tracks the head of
-  // the current contiguous same-offset copy-element run (decode.py's
-  // run_head/rs_f forward-fill, element-granular here).
+  // run_start tracks the head of the current contiguous same-offset
+  // copy-element run (decode.py's run_head/rs_f forward-fill,
+  // element-granular here).
   size_t run_start = 0, last_off = 0;
   bool last_copy = false;
   size_t tail_off = 0;  // final element's copy offset (0 = literal)
@@ -371,7 +368,7 @@ int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
       if (ip + hdr + llen > n) return SR_ERR_TRUNCATED;
       if (op + llen > expected_out) return SR_ERR_LENGTH_MISMATCH;
       for (size_t i = 0; i < llen; i++)
-        src[op + i] = static_cast<uint32_t>(op + i);
+        src[op + i] = static_cast<uint16_t>(op + i);
       ip += hdr + llen;
       op += llen;
       last_copy = false;
@@ -400,10 +397,21 @@ int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
       if (op + clen > expected_out) return SR_ERR_LENGTH_MISMATCH;
       if (!last_copy || offset != last_off) run_start = op;
       const size_t base = run_start - offset;
-      for (size_t p = op; p < op + clen; p++) {
-        const size_t plain = p - offset;
-        src[p] = static_cast<uint32_t>(
-            plain >= run_start ? (p - base) % offset + base : plain);
+      const size_t end = op + clen;
+      // plain >= run_start splits at the fixed boundary
+      // p == run_start + offset: below it the fill is the affine
+      // p - offset (vectorizable); above it run-collapse modular
+      // addressing applies, tracked incrementally (one div per element).
+      size_t b = run_start + offset;
+      if (b > end) b = end;
+      size_t p = op;
+      for (; p < b; p++) src[p] = static_cast<uint16_t>(p - offset);
+      if (p < end) {
+        size_t m = (p - base) % offset;
+        for (; p < end; p++) {
+          src[p] = static_cast<uint16_t>(m + base);
+          if (++m == offset) m = 0;
+        }
       }
       op += clen;
       last_copy = true;
@@ -415,20 +423,44 @@ int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
   // Padding positions [ulen, 64K): the decoder's forward-filled element
   // descriptors extend the FINAL element over the padded domain; these
   // lanes participate in the moving counts and tile depths.
-  for (size_t p = op; p < kOut; p++) {
-    if (tail_off == 0) {
-      src[p] = static_cast<uint32_t>(p);
-    } else {
-      const size_t plain = p - tail_off;
-      const size_t base = run_start - tail_off;
-      src[p] = static_cast<uint32_t>(
-          plain >= run_start ? (p - base) % tail_off + base : plain);
+  if (tail_off == 0) {
+    for (size_t p = op; p < kOut; p++) src[p] = static_cast<uint16_t>(p);
+  } else {
+    const size_t base = run_start - tail_off;
+    size_t b = run_start + tail_off;
+    if (b < op) b = op;
+    if (b > kOut) b = kOut;
+    size_t p = op;
+    for (; p < b; p++) src[p] = static_cast<uint16_t>(p - tail_off);
+    if (p < kOut) {
+      size_t m = (p - base) % tail_off;
+      for (; p < kOut; p++) {
+        src[p] = static_cast<uint16_t>(m + base);
+        if (++m == tail_off) m = 0;
+      }
     }
   }
+  return SR_OK;
+}
+
+int sr_depth_hints_sim(const uint8_t* elems, size_t n, uint64_t expected_out,
+                       uint32_t tail_cap, uint32_t tile, uint8_t* depths) {
+  // Brute-force reference: mirrors tpu_snappy/ops/decode.py operation by
+  // operation (the dense while-loop's cond and tiledres' per-tile local
+  // rounds) — kept as the cross-check oracle for the analytic
+  // sr_depth_hints below (tests compare them on corpus + fuzz streams).
+  constexpr uint32_t kOut = 1u << 16;
+  if (expected_out == 0 || expected_out > kBlockSize || n > 0xffff)
+    return SR_ERR_CAPACITY;
+  if (tile == 0 || (kOut % tile) != 0 || (tile % 128) != 0)
+    return SR_ERR_CAPACITY;
+  std::vector<uint16_t> src(kOut);
+  if (int rc = sr_build_onestep_map(elems, n, expected_out, src.data()))
+    return rc;
   // Dense doubling rounds: decode.py's cond is
   //   (cnt > tail_cap) & (it < 16), cnt initialized above 64 K.
   {
-    std::vector<uint32_t> nxt(kOut);
+    std::vector<uint16_t> nxt(kOut);
     uint32_t cnt = kOut + 1;
     for (int it = 0; cnt > tail_cap && it < 16; it++) {
       cnt = 0;
@@ -443,7 +475,7 @@ int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
   // semantics: only lanes whose pointer is inside the tile advance, and
   // they gather from the tile's own current state).
   const size_t nt = kOut / tile;
-  std::vector<uint32_t> s(tile), g(tile);
+  std::vector<uint16_t> s(tile), g(tile);
   for (size_t t = 0; t < nt; t++) {
     const uint32_t base = static_cast<uint32_t>(t * tile);
     for (size_t i = 0; i < tile; i++) s[i] = src[base + i];
@@ -459,6 +491,224 @@ int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
       rounds++;
     }
     depths[t] = rounds;
+  }
+  return SR_OK;
+}
+
+int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
+                   uint32_t tail_cap, uint32_t tile, uint8_t* depths) {
+  // Analytic form of sr_depth_hints_sim — bit-identical (corpus- and
+  // fuzz-cross-checked in tests/test_sidecar.py) at a fraction of the
+  // host work, because both doubling phases are determined by per-lane
+  // chain depths computable WITHOUT simulation:
+  //  - Simultaneous pointer doubling moves a lane in round r (1-indexed)
+  //    iff its plain chain depth to root D > 2^(r-1), so the sim's moving
+  //    count after round r is #{D > 2^(r-1)}: threshold counts over D fix
+  //    the executed dense round count R.
+  //  - The per-tile phase is doubling on the post-dense graph whose edges
+  //    are 2^R plain steps (saturated at roots). A lane reaches its tile
+  //    terminal — the first chain value below the tile base, or the
+  //    in-tile global root (chains are monotone decreasing, so a chain
+  //    whose root lies in the tile never leaves it) — in
+  //    L = ceil(S / 2^R) graph steps, where S is the plain-step distance
+  //    to that terminal, and stops changing after ceil(log2(L)) doubling
+  //    iterations (its changes occupy iterations 1..ceil(log2(L))).
+  //    The tile's simulated round count is the lane max, and since
+  //    ceil/log2 are monotone that is ceil(log2(ceil(maxS / 2^R))).
+  // The walk writes D (depth to root), root (root position) and T (plain
+  // steps to the first value below the lane's tile base) directly,
+  // element by element: a copy's per-byte parents are the contiguous
+  // earlier span p - offset (or the modular run-collapse window), so the
+  // recurrences read CONTIGUOUS just-written memory — no random access
+  // and no separate chain-walk pass.
+  constexpr uint32_t kOut = 1u << 16;
+  if (expected_out == 0 || expected_out > kBlockSize || n > 0xffff)
+    return SR_ERR_CAPACITY;
+  if (tile == 0 || (kOut % tile) != 0 || (tile % 128) != 0)
+    return SR_ERR_CAPACITY;
+  const uint32_t tmask = tile - 1;
+  // Reused across calls (every lane is written before it is read, so no
+  // state leaks between chunks); saves ~0.07 ms/chunk of alloc+zero.
+  static thread_local std::vector<uint16_t> D(kOut), RT(kOut), T(kOut);
+  size_t ip = 0, op = 0;
+  size_t run_start = 0, last_off = 0;
+  bool last_copy = false;
+  size_t tail_off = 0;
+  // Plain copy span [beg, end) with source span [beg-offset, end-offset)
+  // entirely disjoint (offset >= end-beg): the three recurrences are
+  // straight span ops the compiler vectorizes. T needs tile-segmenting:
+  // within a tile (base fixed), p < base+offset means the source is in a
+  // lower tile (T=1); the rest copies T+1 from in-tile sources, which
+  // precede beg because offset >= the span length.
+  auto fill_plain_vec = [&](size_t beg, size_t end, size_t offset) {
+    const size_t len = end - beg;
+    {
+      const uint16_t* __restrict s = D.data() + (beg - offset);
+      uint16_t* __restrict d = D.data() + beg;
+      for (size_t i = 0; i < len; i++)
+        d[i] = static_cast<uint16_t>(s[i] + 1);
+    }
+    std::memcpy(RT.data() + beg, RT.data() + (beg - offset), len * 2);
+    size_t p = beg;
+    while (p < end) {
+      const size_t base = p & ~static_cast<size_t>(tmask);
+      const size_t send = std::min(end, base + tile);
+      size_t b1 = base + offset;
+      if (b1 < p) b1 = p;
+      if (b1 > send) b1 = send;
+      for (size_t q = p; q < b1; q++) T[q] = 1;
+      if (b1 < send) {
+        const uint16_t* __restrict s = T.data() + (b1 - offset);
+        uint16_t* __restrict d = T.data() + b1;
+        const size_t l2 = send - b1;
+        for (size_t i = 0; i < l2; i++)
+          d[i] = static_cast<uint16_t>(s[i] + 1);
+      }
+      p = send;
+    }
+  };
+  // Fill [beg, end) as copy bytes with the given offset/run_start —
+  // shared by copy elements and the padding tail.
+  auto fill_copy = [&](size_t beg, size_t end, size_t offset,
+                       size_t rstart) {
+    const size_t base0 = rstart - offset;
+    size_t b = rstart + offset;  // plain/modular boundary
+    if (b < beg) b = beg;
+    if (b > end) b = end;
+    if (b - beg >= 32 && offset >= b - beg) {
+      // long span: vector path (short spans lose to its call overhead)
+      fill_plain_vec(beg, b, offset);
+    } else {
+      for (size_t p = beg; p < b; p++) {  // plain span: parent = p-offset
+        const size_t s = p - offset;
+        D[p] = static_cast<uint16_t>(D[s] + 1);
+        RT[p] = RT[s];
+        T[p] = s < (p & ~static_cast<size_t>(tmask))
+                   ? 1
+                   : static_cast<uint16_t>(T[s] + 1);
+      }
+    }
+    if (b < end) {  // modular span: parent cycles [base0, base0+offset)
+      size_t m = (b - base0) % offset;
+      for (size_t p = b; p < end; p++) {
+        const size_t s = m + base0;
+        D[p] = static_cast<uint16_t>(D[s] + 1);
+        RT[p] = RT[s];
+        T[p] = s < (p & ~static_cast<size_t>(tmask))
+                   ? 1
+                   : static_cast<uint16_t>(T[s] + 1);
+        if (++m == offset) m = 0;
+      }
+    }
+  };
+  while (ip < n) {
+    const uint8_t tag = elems[ip];
+    const unsigned kind = tag & 3;
+    if (kind == 0) {
+      size_t llen, hdr;
+      if ((tag >> 2) < 60) {
+        llen = (tag >> 2) + 1;
+        hdr = 1;
+      } else {
+        const unsigned extra = (tag >> 2) - 59;
+        if (ip + 1 + extra > n) return SR_ERR_TRUNCATED;
+        uint64_t v = 0;
+        for (unsigned i = 0; i < extra; i++)
+          v |= static_cast<uint64_t>(elems[ip + 1 + i]) << (8 * i);
+        llen = static_cast<size_t>(v) + 1;
+        hdr = 1 + extra;
+      }
+      if (ip + hdr + llen > n) return SR_ERR_TRUNCATED;
+      if (op + llen > expected_out) return SR_ERR_LENGTH_MISMATCH;
+      // literal: self-root (memset only pays off on long runs)
+      if (llen >= 32) {
+        std::memset(D.data() + op, 0, llen * 2);
+        std::memset(T.data() + op, 0, llen * 2);
+        uint16_t* __restrict r = RT.data() + op;
+        for (size_t i = 0; i < llen; i++)
+          r[i] = static_cast<uint16_t>(op + i);
+      } else {
+        for (size_t p = op; p < op + llen; p++) {
+          D[p] = 0;
+          RT[p] = static_cast<uint16_t>(p);
+          T[p] = 0;
+        }
+      }
+      ip += hdr + llen;
+      op += llen;
+      last_copy = false;
+      tail_off = 0;
+    } else {
+      size_t clen, offset;
+      if (kind == 1) {
+        if (ip + 2 > n) return SR_ERR_TRUNCATED;
+        clen = ((tag >> 2) & 0x7) + 4;
+        offset = (static_cast<size_t>(tag >> 5) << 8) | elems[ip + 1];
+        ip += 2;
+      } else if (kind == 2) {
+        if (ip + 3 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = elems[ip + 1] | (static_cast<size_t>(elems[ip + 2]) << 8);
+        ip += 3;
+      } else {
+        if (ip + 5 > n) return SR_ERR_TRUNCATED;
+        clen = (tag >> 2) + 1;
+        offset = elems[ip + 1] | (static_cast<size_t>(elems[ip + 2]) << 8) |
+                 (static_cast<size_t>(elems[ip + 3]) << 16) |
+                 (static_cast<size_t>(elems[ip + 4]) << 24);
+        ip += 5;
+      }
+      if (offset == 0 || offset > op) return SR_ERR_BAD_OFFSET;
+      if (op + clen > expected_out) return SR_ERR_LENGTH_MISMATCH;
+      if (!last_copy || offset != last_off) run_start = op;
+      fill_copy(op, op + clen, offset, run_start);
+      op += clen;
+      last_copy = true;
+      last_off = offset;
+      tail_off = offset;
+    }
+  }
+  if (op != expected_out) return SR_ERR_LENGTH_MISMATCH;
+  // Padding positions [ulen, 64K): the decoder's forward-filled element
+  // descriptors extend the FINAL element over the padded domain.
+  if (tail_off == 0) {
+    std::memset(D.data() + op, 0, (kOut - op) * 2);
+    std::memset(T.data() + op, 0, (kOut - op) * 2);
+    uint16_t* __restrict r = RT.data();
+    for (size_t p = op; p < kOut; p++) r[p] = static_cast<uint16_t>(p);
+  } else {
+    fill_copy(op, kOut, tail_off, run_start);
+  }
+  // Executed dense rounds (sim: cnt starts at kOut+1, runs while
+  // cnt > tail_cap, at most 16; after round r, cnt = #{D > 2^(r-1)}),
+  // via one vectorizable threshold-count pass per executed round.
+  uint32_t R = 0;
+  if (kOut + 1 > tail_cap) {
+    R = 1;
+    while (R < 16) {
+      const uint16_t thr = static_cast<uint16_t>(
+          (1u << (R - 1)) > 0xffff ? 0xffff : (1u << (R - 1)));
+      uint32_t cnt = 0;
+      for (uint32_t p = 0; p < kOut; p++) cnt += (D[p] > thr);
+      if (cnt > tail_cap)
+        R++;
+      else
+        break;
+    }
+  }
+  // Per-tile rounds from the plain terminal distances
+  // S = (root in tile) ? D : T, maxed over the tile.
+  const size_t nt = kOut / tile;
+  for (size_t t = 0; t < nt; t++) {
+    const uint32_t base = static_cast<uint32_t>(t * tile);
+    uint32_t maxS = 0;
+    for (uint32_t p = base; p < base + tile; p++) {
+      const uint32_t S = RT[p] >= base ? D[p] : T[p];
+      if (S > maxS) maxS = S;
+    }
+    const uint32_t L = (maxS + (1u << R) - 1) >> R;
+    depths[t] =
+        L >= 2 ? static_cast<uint8_t>(32 - __builtin_clz(L - 1)) : 0;
   }
   return SR_OK;
 }

@@ -94,6 +94,13 @@ int sr_root_map(const uint8_t* elems, size_t n, uint64_t expected_out,
 int sr_depth_hints(const uint8_t* elems, size_t n, uint64_t expected_out,
                    uint32_t tail_cap, uint32_t tile, uint8_t* depths);
 
+// Brute-force round-by-round simulation form of sr_depth_hints
+// (bit-identical by construction; the analytic sr_depth_hints derives
+// both doubling phases from per-lane chain depths instead). Kept as the
+// cross-check oracle for corpus + fuzz tests.
+int sr_depth_hints_sim(const uint8_t* elems, size_t n, uint64_t expected_out,
+                       uint32_t tail_cap, uint32_t tile, uint8_t* depths);
+
 // ---- Framing format (the official Snappy streaming container) ----
 // Spec: google/snappy framing_format.txt — chunked stream with per-chunk
 // CRC-32C (Castagnoli) checksums, masked as ((crc>>15)|(crc<<17))+0xa282ead8.

@@ -271,6 +271,34 @@ def test_depth_hint_native_matches_pipeline_truth():
         assert int(native[t]) == r, t
 
 
+def test_depth_hint_analytic_matches_simulation():
+    # sr_depth_hints derives both doubling phases analytically from
+    # per-lane chain depths; sr_depth_hints_sim simulates them round by
+    # round. They must agree bit-exactly on every stream, cap and tile.
+    from tpu_snappy.native import golden as g
+    from tpu_snappy.ops import decode as D
+
+    rng = np.random.default_rng(20260820)
+    streams = []
+    text = (b"the cat sat on the mat and a dog sat on the log too " * 1300
+            )[:65536]
+    streams.append(text)
+    streams.append(b"A" * 50000)                        # offset-1 RLE
+    streams.append(bytes(rng.integers(0, 256, 4096, dtype=np.uint8)))
+    pat = bytes(rng.integers(0, 256, 37, dtype=np.uint8))
+    streams.append((pat * 1800)[:65536])                # periodic
+    streams.append(b"xy")                               # tiny
+    for data in streams:
+        comp = api.compress(data, small_fastpath=False)
+        total, start = fmt.varint_decode(comp)
+        elems = comp[start:]
+        for cap in (0, 40960, D.TAIL_CAP, 65537):
+            for tile in (128, D.TAIL_TILE, 65536):
+                a = g.depth_hints(elems, total, cap, tile)
+                s = g.depth_hints_sim(elems, total, cap, tile)
+                assert np.array_equal(a, s), (len(data), cap, tile)
+
+
 def test_corrupt_depth_hint_falls_back():
     # Under-declared depths yield wrong bytes -> chunk CRC catches it ->
     # normal-path fallback; over-declared depths only waste rounds.

@@ -89,6 +89,8 @@ def _load():
                 ctypes.c_uint32, ctypes.c_uint32,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.sr_depth_hints_sim.restype = ctypes.c_int
+            lib.sr_depth_hints_sim.argtypes = lib.sr_depth_hints.argtypes
             lib.sr_crc32c.restype = ctypes.c_uint32
             lib.sr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
             lib.sr_max_framed_length.restype = ctypes.c_size_t
@@ -182,6 +184,20 @@ def depth_hints(elems: bytes, ulen: int, tail_cap: int, tile: int):
     rc = lib.sr_depth_hints(elems, len(elems), ulen, tail_cap, tile, out)
     if rc:
         raise RuntimeError(f"depth_hints: {_ERRORS.get(rc, rc)}")
+    return np.frombuffer(out, dtype=np.uint8).copy()
+
+
+def depth_hints_sim(elems: bytes, ulen: int, tail_cap: int, tile: int):
+    """Brute-force simulation oracle for depth_hints (sr_depth_hints_sim);
+    tests assert the analytic builder matches it bit-exactly."""
+    import numpy as np
+
+    lib = _load()
+    nt = 65536 // tile
+    out = (ctypes.c_uint8 * nt)()
+    rc = lib.sr_depth_hints_sim(elems, len(elems), ulen, tail_cap, tile, out)
+    if rc:
+        raise RuntimeError(f"depth_hints_sim: {_ERRORS.get(rc, rc)}")
     return np.frombuffer(out, dtype=np.uint8).copy()
 
 
