@@ -167,6 +167,36 @@ def main():
     except Exception as e:
         log(f"fast-profile bench unavailable: {e}")
 
+    # TURBO_CONFIG point: the admissible edge at the reference RTL's own
+    # ratio trade (its 3.50 cyc/B costs 1.57x software Snappy's size;
+    # this preset stays at ~1.07x — see config.TURBO_CONFIG).
+    turbo_gbps = turbo_ratio = None
+    try:
+        from tpu_snappy.config import TURBO_CONFIG
+        enct = jax.jit(lambda b, l: ops_encode.encode_corpus(
+            b, l, TURBO_CONFIG, wave=ENC_WAVE))
+        outt, lenst = [np.asarray(x) for x in enct(blocks_d, lens_d)]
+        compt = fmt.varint_encode(n) + b"".join(
+            outt[i, : lenst[i]].tobytes() for i in range(nblocks))
+        turbo_rt = golden.uncompress(compt) == data
+        for _ in range(2):
+            last = enct(blocks_d, lens_d)[1]
+        np.asarray(jnp.ravel(last)[0])
+        t0 = time.time()
+        for _ in range(ITERS):
+            last = enct(blocks_d, lens_d)[1]
+        np.asarray(jnp.ravel(last)[0])
+        turbo_gbps = n * ITERS / (time.time() - t0) / 1e9
+        turbo_ratio = round(len(compt) / gsize, 4)
+        log(f"encode TURBO_CONFIG: {turbo_gbps:.3f} GB/s/chip = "
+            f"{0.94/turbo_gbps:.2f} cyc/B "
+            f"(ratio x{turbo_ratio} vs snappy — RTL's point is x1.57 at "
+            f"3.50 cyc/B; rt={turbo_rt})")
+        if not turbo_rt:
+            turbo_gbps = None
+    except Exception as e:
+        log(f"turbo-profile bench unavailable: {e}")
+
     # Sustained (in-graph) rate: one dispatch running R corpus passes in a
     # lax.fori_loop — removes the per-program launch overhead (~48 us/block
     # measured on the tunneled chip) that back-to-back dispatches pay.
@@ -412,6 +442,14 @@ def main():
         "decode_sustained_GBps": round(dec_sus_gbps, 4),
         "encode_fast_GBps": round(fast_gbps, 4) if fast_gbps else None,
         "encode_fast_ratio_vs_snappy": fast_ratio,
+        "encode_turbo_GBps": round(turbo_gbps, 4) if turbo_gbps else None,
+        "encode_turbo_ratio_vs_snappy": turbo_ratio,
+        # TURBO is the matched-ratio comparable vs the RTL: its 3.50
+        # cyc/B is recorded at x1.57 software Snappy's size; TURBO stays
+        # at ~x1.07 (the RTL's ratio bar, not the default presets' bar).
+        "encode_turbo_cyc_per_byte": round(0.94e9 / (turbo_gbps * 1e9), 2)
+        if turbo_gbps else None,
+        "ref_hw_size_vs_snappy": 1.5716,
         "decode_foreign_GBps": round(foreign_gbps, 4) if foreign_gbps else None,
         "decode_hinted_GBps": round(hinted_gbps, 4) if hinted_gbps else None,
         "decode_sidecar_GBps": round(sidecar_gbps, 4) if sidecar_gbps else None,

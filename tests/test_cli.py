@@ -50,6 +50,12 @@ def test_cli_fast_and_sidecar(sample, tmp_path):
     assert back.read_bytes() == sample.read_bytes()
 
 
+def test_cli_turbo(sample, tmp_path):
+    assert main(["roundtrip", str(sample), "--turbo"]) == 0
+    with pytest.raises(SystemExit):
+        main(["roundtrip", str(sample), "--fast", "--turbo"])
+
+
 def test_cli_hadoop(sample, tmp_path):
     comp, back = tmp_path / "o.snappy", tmp_path / "o.txt"
     assert main(["compress", str(sample), str(comp), "--hadoop"]) == 0

@@ -46,6 +46,12 @@ def main(argv=None):
                             "(config.FAST_CONFIG: +21%% encode, worst "
                             "per-file ratio within ~5%% over software "
                             "Snappy; round-trips stay bit-exact)")
+        p.add_argument("--turbo", action="store_true",
+                       help="matched-ratio turbo encode preset "
+                            "(config.TURBO_CONFIG: ~+45%% encode at "
+                            "~7%% over software Snappy's size — still "
+                            "well under the reference RTL's 1.57x; "
+                            "round-trips stay bit-exact)")
         if name == "compress":
             p.add_argument("--stream", action="store_true",
                            help="wave-streamed encode (for huge inputs)")
@@ -65,10 +71,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
 
     from . import api, framing
-    from .config import DEFAULT_CONFIG, FAST_CONFIG
+    from .config import DEFAULT_CONFIG, FAST_CONFIG, TURBO_CONFIG
     from .parallel import mesh as meshlib, shard, streaming
 
-    cfg = FAST_CONFIG if args.fast else DEFAULT_CONFIG
+    if args.fast and args.turbo:
+        ap.error("--fast and --turbo are mutually exclusive presets")
+    cfg = (TURBO_CONFIG if args.turbo
+           else FAST_CONFIG if args.fast else DEFAULT_CONFIG)
     mesh = meshlib.make_mesh(args.mesh) if args.mesh else None
     if args.framed and args.hadoop:
         ap.error("--framed and --hadoop are mutually exclusive containers")

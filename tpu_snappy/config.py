@@ -131,3 +131,20 @@ DEFAULT_CONFIG = CodecConfig()
 #: aligner/random/real-10000 over, by less); lazy=0/sig variants measured
 #: not worth their ratio cost.
 FAST_CONFIG = CodecConfig(candidates=8, probes=8)
+
+#: Matched-ratio "turbo" preset: the admissible speed edge at the
+#: REFERENCE RTL's own ratio point. The RTL's headline 3.50 cyc/B on
+#: real-50KB comes at a compressed size 1.57x LARGER than software
+#: Snappy (32683 vs 20795 B; reference benchmark/hw_results.csv:25 and
+#: sw_results.csv:22) — a ratio trade the DEFAULT/FAST presets refuse.
+#: Opening the same trade (round-4 sweeps, tools/jobs_archive/r4):
+#: K=3 + signature sticky membership encodes mtg at 0.235-0.239 GB/s
+#: (3.91-3.99 cyc/B) with aggregate size x1.073 vs software Snappy —
+#: still 1.46x SMALLER than the RTL's output at only ~12% more cycles
+#: per byte. Sweep notes: speed saturates below K=4 (K=2 is no faster
+#: than K=3 — the K-independent stages dominate), flatten="off" is
+#: SLOWER than "class" (measured 381.7 vs 325.9 us/block at K=8: the
+#: flattening slot also feeds the odd-K packed restore form), and
+#: STICKY_LEVELS has no measurable speed effect at K=3. Round-trips
+#: stay bit-exact; only ratio is traded.
+TURBO_CONFIG = CodecConfig(candidates=3, probes=3, sticky="sig")
