@@ -52,8 +52,11 @@ def test_cli_fast_and_sidecar(sample, tmp_path):
 
 def test_cli_turbo(sample, tmp_path):
     assert main(["roundtrip", str(sample), "--turbo"]) == 0
+    assert main(["roundtrip", str(sample), "--ultra"]) == 0
     with pytest.raises(SystemExit):
         main(["roundtrip", str(sample), "--fast", "--turbo"])
+    with pytest.raises(SystemExit):
+        main(["roundtrip", str(sample), "--turbo", "--ultra"])
 
 
 def test_cli_hadoop(sample, tmp_path):

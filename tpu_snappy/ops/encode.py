@@ -91,9 +91,21 @@ def _window_keys(block: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
     return jnp.where(iota <= n - 4, _windows_u32(block), jnp.uint32(0xFFFFFFFF))
 
 
+def _expand_stride(x: jax.Array, stride: int) -> jax.Array:
+    """Interleave stride-1 zero rows after each row of x, restoring the
+    full position domain from a strided-anchor table (rows of x belong to
+    positions 0, stride, 2*stride, ...)."""
+    if stride == 1:
+        return x
+    z = jnp.zeros((x.shape[0], stride - 1) + x.shape[1:], x.dtype)
+    return jnp.concatenate(
+        [x[:, None, ...], z], axis=1
+    ).reshape((x.shape[0] * stride,) + x.shape[1:])
+
+
 def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
                        flatten: str = "class", probes: int | None = None,
-                       packed: bool = False):
+                       packed: bool = False, stride: int = 1):
     """Previous positions with an identical 4-byte window, as offsets
     (0 = no candidate). key: _window_keys output. Sort-based rank-space
     matcher: after sorting (window, position) pairs, the k-th previous
@@ -119,9 +131,21 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     if flatten == "off":
         r = k  # legacy nearest-first table, no dedup
         assert not packed, "packed form requires the flattening slot"
+    # Strided anchors (cfg.stride > 1): match candidates only at every
+    # stride-th position — the sort/probe/restore domain shrinks by the
+    # stride while the rest of the pipeline is untouched (positions with
+    # no candidates already parse as literals; match EXTENSION is
+    # byte-granular, so strided anchors still cover odd content). All
+    # emitted offsets become multiples of the stride; ratio cost measured
+    # at stride 2 on K=3: mtg x1.23, real-50000 x1.26 vs software snappy
+    # (the reference RTL's own point is x1.57).
+    if stride > 1:
+        key = key[::stride]
+        iota = iota[::stride]
+    M = key.shape[0]
     w_s, pos_s = jax.lax.sort((key, iota), num_keys=2)
 
-    rank = jnp.arange(N, dtype=jnp.int32)
+    rank = jnp.arange(M, dtype=jnp.int32)
     offs = []
     for shift in range(1, r + 1):
         prev_w = jnp.roll(w_s, shift, axis=-1)
@@ -209,8 +233,8 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         # {14..21} around a 17-byte line period) and must survive, or
         # period-spanning sticky chains break. One fused elementwise pass.
         if r > k:
-            slots = [jnp.zeros(N, jnp.int32) for _ in range(k - 1)]
-            cnt = jnp.zeros(N, jnp.int32)
+            slots = [jnp.zeros(M, jnp.int32) for _ in range(k - 1)]
+            cnt = jnp.zeros(M, jnp.int32)
             ladder = offs[0] == 1
             for j in range(r):
                 kp = offs[j] > 0
@@ -247,13 +271,16 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         if packed:
             c0 = (back[0] & 0xFFFF).astype(jnp.int32)
             pref = _flat_gate(flat_back, c0)
-            return pref, jnp.stack(back, axis=-1)  # (N,), (N, (K-1)//2) u32
+            return (_expand_stride(pref, stride),
+                    _expand_stride(jnp.stack(back, axis=-1),
+                                   stride))  # (N,), (N, (K-1)//2) u32
         out = []
         for p in back:
             out.append((p & 0xFFFF).astype(jnp.int32))
             out.append((p >> 16).astype(jnp.int32))
         pref = _flat_gate(flat_back, out[0])
-        return jnp.stack([pref] + out, axis=-1)  # (N, K)
+        return _expand_stride(jnp.stack([pref] + out, axis=-1),
+                              stride)  # (N, K)
     words = [
         offs[2 * j].astype(jnp.uint32)
         | (offs[2 * j + 1].astype(jnp.uint32) << 16)
@@ -269,19 +296,23 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         c0 = (back[0] & 0xFFFF).astype(jnp.int32)
         flat_v = (back[(k - 1) // 2] >> 16).astype(jnp.int32)
         pref = _flat_gate(flat_v, c0)
-        return pref, jnp.stack(back, axis=-1)  # (N,), (N, K//2) u32
+        return (_expand_stride(pref, stride),
+                _expand_stride(jnp.stack(back, axis=-1),
+                               stride))  # (N,), (N, K//2) u32
     out = []
     for j, p in enumerate(back):
         out.append((p & 0xFFFF).astype(jnp.int32))
         out.append((p >> 16).astype(jnp.int32))
     if flatten == "off":
-        return jnp.stack(out[:k], axis=-1)  # (N, K) nearest-first
+        return _expand_stride(jnp.stack(out[:k], axis=-1),
+                              stride)  # (N, K) nearest-first
     # Column 0 drives the sticky default (the gated flat choice); chain
     # continuation only needs set membership, so flat takes the slot of the
     # dropped 16th-nearest candidate rather than growing K. Built in one
     # stack — no post-hoc concat rebuild of the (N, K) table.
     pref = _flat_gate(out[k - 1], out[0])
-    return jnp.stack([pref] + out[:k - 1], axis=-1)  # (N, K)
+    return _expand_stride(jnp.stack([pref] + out[:k - 1], axis=-1),
+                          stride)  # (N, K)
 
 
 def _flat_gate(flat: jax.Array, c0: jax.Array) -> jax.Array:
@@ -542,12 +573,13 @@ def encode_block(block: jax.Array, n: jax.Array,
         from .pallas import matcher as pallas_matcher
         pref, words = _candidate_offsets(key, n, iota, cfg.candidates,
                                          cfg.flatten, cfg.probes,
-                                         packed=True)
+                                         packed=True, stride=cfg.stride)
         jump, off = pallas_matcher.matcher_block_packed(
             pref, words, n, cfg.candidates, cfg.lazy, cfg.sticky)
     else:
         cands = _candidate_offsets(key, n, iota, cfg.candidates,
-                                   cfg.flatten, cfg.probes)
+                                   cfg.flatten, cfg.probes,
+                                   stride=cfg.stride)
         jump, off = _matcher_xla(cands, n, iota, cfg.lazy, cfg.sticky)
 
     # --- COMMIT ---
