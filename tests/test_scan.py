@@ -60,3 +60,24 @@ def test_commit_bounded_matches_chase():
     jump = rng.integers(1, 65, n).astype(np.int32)
     got = np.asarray(scan.commit_bounded(jnp.asarray(jump)))
     assert (got == _golden_committed(jump)).all()
+
+
+@pytest.mark.parametrize("levels", [1, 3, 6])
+def test_commit_tree_matches_all_paths(levels):
+    # The halving-tree entry scan (TPU encode default at 3 levels) must be
+    # bit-identical to the sequential and associative paths on every
+    # bounded jump distribution, with and without a batch dim.
+    rng = np.random.default_rng(levels)
+    n = 1 << 16
+    for jump in (np.ones(n, np.int32),
+                 np.full(n, 64, np.int32),
+                 rng.integers(1, 65, n).astype(np.int32)):
+        want = _golden_committed(jump)
+        got = np.asarray(scan.commit_bounded(jnp.asarray(jump),
+                                             tree_levels=levels))
+        assert (got == want).all()
+    batch = rng.integers(1, 65, (3, n)).astype(np.int32)
+    seq = np.asarray(scan.commit_bounded(jnp.asarray(batch), sequential=True))
+    tre = np.asarray(scan.commit_bounded(jnp.asarray(batch),
+                                         tree_levels=levels))
+    assert (seq == tre).all()

@@ -250,16 +250,52 @@ def committed_from_entries(jump: jax.Array, entry: jax.Array) -> jax.Array:
     return jnp.moveaxis(flags, 0, -1).reshape(jump.shape)
 
 
-def commit_bounded(jump: jax.Array, sequential: bool = False) -> jax.Array:
+def entry_states_tree(exit_maps: jax.Array, levels: int = 3) -> jax.Array:
+    """Entry states via a bounded-domain halving tree (jump <= S only).
+
+    Composes `levels` pairwise levels of exit maps — the bounded encode
+    invariant keeps every value < S, so the state DOMAIN stays S=64 at
+    every level (unlike the G-grouped variant above, whose D=G*S domain
+    growth made it lose) and each level halves the map count, bounding
+    total compose work at ~one level's worth — then runs the sequential
+    scan over the NSEG >> levels coarse segments and descends: the odd
+    child's entry is the even child's exit map evaluated at the even
+    child's entry. Measured on v5e (ultra jump data, B=24): L=3 saves
+    ~15 us/block over the plain sequential scan (L=0); L=2-6 are within
+    3 us of each other, so the tail of the sweep is flat.
+    """
+    maps = exit_maps
+    stack = []
+    for _ in range(levels):
+        f = maps[..., 0::2, :]
+        g = maps[..., 1::2, :]
+        stack.append(f)
+        maps = gather_s(g, jnp.clip(f, 0, S - 1), small=True)
+    e = entry_states_sequential(maps)
+    for f in reversed(stack):
+        thru = gather_s(f, jnp.clip(e, 0, S - 1)[..., None],
+                        small=True)[..., 0]
+        e = jnp.stack([e, thru], axis=-1).reshape(*e.shape[:-1],
+                                                  e.shape[-1] * 2)
+    return e
+
+
+def commit_bounded(jump: jax.Array, sequential: bool = False,
+                   tree_levels: int = 0) -> jax.Array:
     """Committed flags for bounded jumps (1 <= jump <= S). Encode path.
 
-    sequential=True (the encode default) runs the entry-state pass as the
-    NSEG-step lax.scan instead of the log-depth associative composition:
-    the composition's levels move (NSEG, S, S) f32 one-hots through HBM
-    while the sequential steps are S-wide take_along_axis — measured 0.23
-    vs 0.27 ms/block on v5e (same job, both directions repeated).
+    sequential=True runs the entry-state pass as the NSEG-step lax.scan
+    instead of the log-depth associative composition: the composition's
+    levels move (NSEG, S, S) f32 one-hots through HBM while the
+    sequential steps are S-wide take_along_axis — measured 0.23 vs 0.27
+    ms/block on v5e (same job, both directions repeated). tree_levels>0
+    (the TPU encode default) composes that many bounded-domain pairwise
+    levels first (entry_states_tree) — the measured best of the three.
     """
     maps = segment_exit_maps(jump, bounded=True)
+    if tree_levels > 0:
+        return committed_from_entries(
+            jump, entry_states_tree(maps, tree_levels))
     if sequential:
         return committed_from_entries(jump, entry_states_sequential(maps))
     return committed_from_entries(jump, entry_states_bounded(maps))
