@@ -109,6 +109,25 @@ def test_ultra_config_roundtrips_within_rtl_bar():
         assert len(comp) <= 1.5716 * len(gold)
 
 
+def test_strided_window_keys_match_sliced_full_keys():
+    # The byte-group reinterpretation (u16 pairs at stride 2, u32 words at
+    # stride 4) must reproduce _window_keys(...)[::stride] exactly,
+    # including the validity mask and the wraparound of the final window.
+    import jax.numpy as jnp
+    from tpu_snappy.ops import encode as E
+    rng = np.random.default_rng(9)
+    iota = jnp.arange(fmt.BLOCK_SIZE, dtype=jnp.int32)
+    for src in (rng.integers(0, 256, fmt.BLOCK_SIZE, dtype=np.uint8),
+                np.frombuffer((corpus.load("fox-in-socks.txt")
+                               * 20)[:fmt.BLOCK_SIZE], np.uint8)):
+        b = jnp.asarray(src)
+        for n in (fmt.BLOCK_SIZE, fmt.BLOCK_SIZE - 7, 1000, 3):
+            full = np.asarray(E._window_keys(b, jnp.int32(n), iota))
+            for s in (2, 4):
+                sk = np.asarray(E._window_keys_strided(b, jnp.int32(n), s))
+                assert np.array_equal(full[::s], sk), (n, s)
+
+
 def test_stride_offsets_are_stride_multiples():
     # Structural invariant of strided anchors: every emitted copy offset
     # is a multiple of the stride (anchor and source share the lattice).

@@ -164,14 +164,16 @@ FAST_CONFIG = CodecConfig(candidates=8, probes=8)
 TURBO_CONFIG = CodecConfig(candidates=3, probes=3, sticky="sig")
 
 #: RTL-dominating preset: TURBO plus stride-2 match anchors (the
-#: pair-sort/probe/restore domain halves; see `stride`). Measured on v5e
-#: (mtg, 24-wide): **0.287 GB/s = 3.27 cyc/B vs the RTL's 3.50** at
-#: aggregate size x1.357 vs software snappy vs the RTL's x1.571 — and on
-#: the RTL's own benchmark file (real-50000) the output is 8.6% SMALLER
-#: than the RTL's recorded 32683 B. Strictly faster AND smaller than the
-#: reference accelerator at its own ratio point; round-trips stay
-#: bit-exact. Sweep notes (tools/jobs_archive/r4): the stride-2 ratio
-#: cost is structural (even-only anchors AND sources), so raising K
-#: recovers little (K=14 s=2: x1.263 at 4.31 cyc/B) — K=3 is the edge;
-#: stride 4 breaks the RTL bar (x1.77).
+#: pair-sort/probe/restore domain halves and the window build drops to a
+#: u16 reinterpretation; see `stride`). Measured on v5e (mtg, 24-wide,
+#: with the tree commit scan + strided key build): **0.319 GB/s =
+#: 2.95 cyc/B vs the RTL's 3.50** at aggregate size x1.357 vs software
+#: snappy vs the RTL's x1.571 — and on the RTL's own benchmark file
+#: (real-50000) the output is 8.6% SMALLER than the RTL's recorded
+#: 32683 B. Strictly faster AND smaller than the reference accelerator
+#: at its own ratio point; round-trips stay bit-exact. Sweep notes
+#: (tools/jobs_archive/r4): the stride-2 ratio cost is structural
+#: (even-only anchors AND sources), so raising K recovers little
+#: (K=14 s=2: x1.263 at 4.31 cyc/B) — K=3 is the edge; stride 4 breaks
+#: the RTL bar (x1.77).
 ULTRA_CONFIG = CodecConfig(candidates=3, probes=3, sticky="sig", stride=2)

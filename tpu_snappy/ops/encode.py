@@ -91,6 +91,28 @@ def _window_keys(block: jax.Array, n: jax.Array, iota: jax.Array) -> jax.Array:
     return jnp.where(iota <= n - 4, _windows_u32(block), jnp.uint32(0xFFFFFFFF))
 
 
+def _window_keys_strided(block: jax.Array, n: jax.Array,
+                         stride: int) -> jax.Array:
+    """Sort keys for stride-spaced positions only. The 4-byte window at a
+    stride-aligned position spans whole stride-aligned byte groups, so no
+    strided memory access is needed at all: for stride 2 the window at
+    position 2q is u16 words q and q+1 of the block; for stride 4 it IS
+    u32 word q. Bit-identical to _window_keys(block, n, iota)[::stride]
+    (tests assert it); replaces both the full 64K window build and the
+    key[::stride] relayout on the strided-anchor path."""
+    if stride == 2:
+        v = jax.lax.bitcast_convert_type(
+            block.reshape(N // 2, 2), jnp.uint16)
+        w = v.astype(jnp.uint32) | (jnp.roll(v, -1).astype(jnp.uint32) << 16)
+    elif stride == 4:
+        w = jax.lax.bitcast_convert_type(block.reshape(N // 4, 4),
+                                         jnp.uint32)
+    else:
+        raise ValueError("strided keys support stride 2 or 4")
+    pos = jnp.arange(N // stride, dtype=jnp.int32) * stride
+    return jnp.where(pos <= n - 4, w, jnp.uint32(0xFFFFFFFF))
+
+
 def _expand_stride(x: jax.Array, stride: int) -> jax.Array:
     """Interleave stride-1 zero rows after each row of x, restoring the
     full position domain from a strided-anchor table (rows of x belong to
@@ -139,7 +161,10 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     # emitted offsets become multiples of the stride; ratio cost measured
     # at stride 2 on K=3: mtg x1.23, real-50000 x1.26 vs software snappy
     # (the reference RTL's own point is x1.57).
-    if stride > 1:
+    if stride > 1 and key.shape[0] == N:
+        # Full-domain inputs: slice here (legacy/test path). encode_block
+        # passes pre-strided keys from _window_keys_strided instead,
+        # which skips the 64K window build and this relayout entirely.
         key = key[::stride]
         iota = iota[::stride]
     M = key.shape[0]
@@ -565,19 +590,27 @@ def encode_block(block: jax.Array, n: jax.Array,
     cap = cfg.block_capacity
 
     # --- MATCH + EXTEND ---
-    key = _window_keys(block, n, iota)
+    if cfg.stride > 1:
+        # Strided anchors: build only the stride-spaced keys (byte-group
+        # reinterpretation — no 64K window pass, no [::stride] relayout)
+        # and hand the candidate stage pre-strided inputs.
+        key = _window_keys_strided(block, n, cfg.stride)
+        kiota = jnp.arange(0, N, cfg.stride, dtype=jnp.int32)
+    else:
+        key = _window_keys(block, n, iota)
+        kiota = iota
     if jax.devices()[0].platform == "tpu" and cfg.flatten != "off":
         # Fused VMEM-resident kernel (bit-identical to the XLA path
         # below), fed the packed candidate form straight from the restore
         # sort (halves its VMEM input block and skips the XLA unpack).
         from .pallas import matcher as pallas_matcher
-        pref, words = _candidate_offsets(key, n, iota, cfg.candidates,
+        pref, words = _candidate_offsets(key, n, kiota, cfg.candidates,
                                          cfg.flatten, cfg.probes,
                                          packed=True, stride=cfg.stride)
         jump, off = pallas_matcher.matcher_block_packed(
             pref, words, n, cfg.candidates, cfg.lazy, cfg.sticky)
     else:
-        cands = _candidate_offsets(key, n, iota, cfg.candidates,
+        cands = _candidate_offsets(key, n, kiota, cfg.candidates,
                                    cfg.flatten, cfg.probes,
                                    stride=cfg.stride)
         jump, off = _matcher_xla(cands, n, iota, cfg.lazy, cfg.sticky)
