@@ -50,15 +50,22 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="sweep with config.FAST_CONFIG (speed-over-ratio "
                          "preset); CSVs get a _fast suffix")
+    ap.add_argument("--preset", choices=("default", "fast", "turbo", "ultra"),
+                    default=None,
+                    help="encode preset to sweep (generalizes --fast); "
+                         "CSVs get a _<preset> suffix")
     args = ap.parse_args()
 
     from tpu_snappy import api
-    from tpu_snappy.config import DEFAULT_CONFIG, FAST_CONFIG
+    from tpu_snappy.config import (DEFAULT_CONFIG, FAST_CONFIG, TURBO_CONFIG,
+                                   ULTRA_CONFIG)
     from tpu_snappy.native import golden
     from tpu_snappy.utils import corpus, metrics
 
-    cfg = FAST_CONFIG if args.fast else DEFAULT_CONFIG
-    sfx = "_fast" if args.fast else ""
+    preset = args.preset or ("fast" if args.fast else "default")
+    cfg = {"default": DEFAULT_CONFIG, "fast": FAST_CONFIG,
+           "turbo": TURBO_CONFIG, "ultra": ULTRA_CONFIG}[preset]
+    sfx = "" if preset == "default" else f"_{preset}"
 
     enc_rows, dev_rows, dec_rows = [], [], []
     for name in corpus.corpus_files():
