@@ -381,12 +381,12 @@ def main():
     hinted_gbps = None
     try:
         from tpu_snappy import sidecar as sc_
-        deps = np.zeros((nf + pad, ops_decode.OUT // ops_decode.TAIL_TILE),
+        deps = np.zeros((nf + pad, ops_decode.OUT // ops_decode.HINT_TILE),
                         np.int32)
         for i in range(nf):
             deps[i] = golden.depth_hints(
                 frags[i, : clens[i]].tobytes(), int(ulens[i]),
-                ops_decode.TAIL_CAP, ops_decode.TAIL_TILE)
+                ops_decode.TAIL_CAP, ops_decode.HINT_TILE)
         dd_h = jax.device_put(deps)
         dec_h = jax.jit(lambda f, c, u, d: ops_decode.decode_corpus_depth(
             f, c, u, d, wave=DEC_WAVE))

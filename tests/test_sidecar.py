@@ -228,9 +228,10 @@ def test_depth_hint_fires_on_text_under_auto():
     # foreign decoders skip 0x81 like any skippable chunk
     from tpu_snappy.native import golden as g
     assert g.uncompress_framed(fr, max_out=len(data) + 16) == data
-    # and the hint is tiny: auto costs ~28+4 bytes per text chunk
+    # and the hint is tiny: 12-byte header + 64 per-tile depths + the
+    # 4-byte chunk header per text chunk (HINT_TILE=1024)
     fr_off = framing.compress(data, sidecar="off")
-    assert len(fr) - len(fr_off) <= 40 * (len(data) // 65536 + 1)
+    assert len(fr) - len(fr_off) <= 84 * (len(data) // 65536 + 1)
 
 
 def test_depth_hint_native_matches_pipeline_truth():
@@ -245,7 +246,7 @@ def test_depth_hint_native_matches_pipeline_truth():
     comp = api.compress(data, small_fastpath=False)
     total, start = fmt.varint_decode(comp)
     elems = comp[start:]
-    native = g.depth_hints(elems, total, D.TAIL_CAP, D.TAIL_TILE)
+    native = g.depth_hints(elems, total, D.TAIL_CAP, D.HINT_TILE)
     w = max(8192, -(-(len(elems) + 8) // 8192) * 8192)
     cc = np.zeros(w, np.uint8)
     cc[: len(elems)] = np.frombuffer(elems, np.uint8)
@@ -258,13 +259,13 @@ def test_depth_hint_native_matches_pipeline_truth():
         s2 = s[s]
         cnt = int((s2 != s).sum())
         s, it = s2, it + 1
-    for t in range(D.OUT // D.TAIL_TILE):
-        base = t * D.TAIL_TILE
-        st = s[base: base + D.TAIL_TILE].copy()
+    for t in range(D.OUT // D.HINT_TILE):
+        base = t * D.HINT_TILE
+        st = s[base: base + D.HINT_TILE].copy()
         r = 0
         while True:
             gnext = np.where(st >= base,
-                             st[np.clip(st - base, 0, D.TAIL_TILE - 1)], st)
+                             st[np.clip(st - base, 0, D.HINT_TILE - 1)], st)
             if (gnext == st).all():
                 break
             st, r = gnext, r + 1
@@ -293,7 +294,7 @@ def test_depth_hint_analytic_matches_simulation():
         total, start = fmt.varint_decode(comp)
         elems = comp[start:]
         for cap in (0, 40960, D.TAIL_CAP, 65537):
-            for tile in (128, D.TAIL_TILE, 65536):
+            for tile in (128, D.HINT_TILE, D.TAIL_TILE, 65536):
                 a = g.depth_hints(elems, total, cap, tile)
                 s = g.depth_hints_sim(elems, total, cap, tile)
                 assert np.array_equal(a, s), (len(data), cap, tile)

@@ -108,6 +108,17 @@ TAIL_CAP = 57344
 TAIL_TILE = 4096
 TAIL_VARIANT = "fori"
 
+#: Tail tile for the DEPTH-HINTED path only. With exact per-tile depths
+#: there is no detect penalty for small tiles (each tile runs exactly its
+#: productive rounds), and smaller tiles mean shorter in-tile chains:
+#: swept with hints on mtg (cap 57344), us/frag: tile 4096 -> 502-504,
+#: 2048 -> 472, 1024 -> 430-432 (+17%, bit-identical; tiles < 1024 hit
+#: Mosaic layout limits). The PLAIN tail keeps TAIL_TILE=4096 — without
+#: hints every tile pays a detect body, which dominates at small tiles.
+#: The 0x81 sidecar carries (cap, tile), so hints built for one tile are
+#: ignored (clean fallback) by a decoder built for another.
+HINT_TILE = 1024
+
 #: resolve="paratail" knobs: dense-round exit cap (dense doubling runs
 #: while the moving set exceeds this; 65536 = no dense rounds at all) and
 #: the tile size shared by the parallel local rounds and the absorb-only
@@ -365,7 +376,7 @@ def decode_fragment(c: jax.Array, clen: jax.Array, ulen: jax.Array,
         src, _cnt, _ = jax.lax.while_loop(
             dense_cond, dense_body, (src, jnp.int32(OUT + 1), jnp.int32(0)))
         out = tiledres.resolve_tiled_depth(
-            lit_out, src, depths, tile=TAIL_TILE).astype(jnp.uint8)
+            lit_out, src, depths, tile=HINT_TILE).astype(jnp.uint8)
     elif resolve == "flagtail":
         # tiledtail + exact per-lane resolution flags: the round-3 census
         # measured one quiet DETECT body per tile (16 x 5.6 us/frag — the
@@ -614,7 +625,7 @@ def decode_fragments_depth_jit(frags: jax.Array, clens: jax.Array,
                                ulens: jax.Array, depths: jax.Array,
                                fields: str = "auto",
                                collapse_runs: bool = True):
-    """Depth-hinted batch decode: depths (B, 65536//TAIL_TILE) int32 per
+    """Depth-hinted batch decode: depths (B, 65536//HINT_TILE) int32 per
     fragment (see decode_fragment resolve='depthtail')."""
     return jax.vmap(
         lambda c, cl, ul, d: decode_fragment(c, cl, ul, "depthtail",

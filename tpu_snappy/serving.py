@@ -582,7 +582,7 @@ class CodecServer:
         W = self._wave
         clens = np.zeros(W, np.int32)
         ulens = np.zeros(W, np.int32)
-        nt = ops_decode.OUT // ops_decode.TAIL_TILE
+        nt = ops_decode.OUT // ops_decode.HINT_TILE
         deps = np.zeros((W, nt), np.int32)
         for j, (_req, _i, _frag, cl, ul, dh) in enumerate(units):
             clens[j] = cl

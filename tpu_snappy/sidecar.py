@@ -51,7 +51,7 @@ CHUNK_TYPE = 0x80
 
 #: Round-4 partial hint (the text-viable co-design point): a 0x81
 #: skippable chunk carrying the decoder's PER-TILE tail round counts —
-#: 65536/TAIL_TILE = 16 bytes + a 12-byte header, so the "auto" policy
+#: 65536/HINT_TILE = 64 bytes + a 12-byte header, so the "auto" policy
 #: emits it on EVERY compressed text chunk (the full tpS1 root map costs
 #: +417% of payload there). The decoder's tile loops then run exactly
 #: their productive depth with no detect body: measured tail 421 -> 328.5
@@ -74,11 +74,11 @@ def build_depth(elems: bytes, ulen: int) -> bytes | None:
         return None
     try:
         from .native import golden
-        d = golden.depth_hints(elems, ulen, D.TAIL_CAP, D.TAIL_TILE)
+        d = golden.depth_hints(elems, ulen, D.TAIL_CAP, D.HINT_TILE)
     except (ImportError, OSError, RuntimeError):
         return None
     return (DEPTH_MAGIC + np.uint32(D.TAIL_CAP).tobytes()
-            + np.uint16(D.TAIL_TILE).tobytes()
+            + np.uint16(D.HINT_TILE).tobytes()
             + bytes([len(d) & 0xFF, 1]) + d.tobytes())
 
 
@@ -92,7 +92,7 @@ def parse_depth(payload: bytes):
     cap = int(np.frombuffer(payload[4:8], "<u4")[0])
     tile = int(np.frombuffer(payload[8:10], "<u2")[0])
     nt, flags = payload[10], payload[11]
-    if (cap != D.TAIL_CAP or tile != D.TAIL_TILE or flags != 1
+    if (cap != D.TAIL_CAP or tile != D.HINT_TILE or flags != 1
             or nt != (OUT // tile) & 0xFF or len(payload) != 12 + nt):
         return None
     return np.frombuffer(payload[12:], np.uint8).astype(np.int32)
