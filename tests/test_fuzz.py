@@ -47,6 +47,19 @@ def test_roundtrip_fuzz(data):
     assert api.decompress(golden.compress(data), small_fastpath=False) == data
 
 
+@settings(max_examples=10, deadline=None)
+@given(structured_bytes())
+def test_roundtrip_fuzz_speed_presets(data):
+    # The speed presets trade only ratio; correctness properties must hold
+    # for arbitrary structures (incl. the stride-2 even-offset lattice).
+    from tpu_snappy.config import TURBO_CONFIG, ULTRA_CONFIG
+    for cfg in (TURBO_CONFIG, ULTRA_CONFIG):
+        comp = api.compress(data, cfg, small_fastpath=False)
+        assert golden.uncompress(comp) == data
+        assert ref.decompress(comp) == data
+        assert api.decompress(comp, small_fastpath=False) == data
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.integers(0, 2**32 - 1), st.integers(100, 4000))
 def test_roundtrip_random_seeds(seed, n):
