@@ -33,6 +33,13 @@ def log(*a):
 ENC_WAVE = 24
 DEC_WAVE = 24
 
+#: The speed presets run at wave 48 (one vmapped wave covers the whole
+#: 48-block corpus, no lax.map step): measured ac_wave48 — fast 0.206 ->
+#: 0.212, turbo 0.248 -> 0.262, ultra 0.324 -> 0.349-0.363 GB/s, while
+#: DEFAULT at K=14 LOSES at 48 (0.169 -> 0.160, VMEM pressure), so the
+#: headline keeps ENC_WAVE=24.
+SPEED_WAVE = 48
+
 
 def main():
     import argparse
@@ -146,7 +153,7 @@ def main():
     try:
         from tpu_snappy.config import FAST_CONFIG
         encf = jax.jit(lambda b, l: ops_encode.encode_corpus(
-            b, l, FAST_CONFIG, wave=ENC_WAVE))
+            b, l, FAST_CONFIG, wave=SPEED_WAVE))
         outf, lensf = [np.asarray(x) for x in encf(blocks_d, lens_d)]
         compf = fmt.varint_encode(n) + b"".join(
             outf[i, : lensf[i]].tobytes() for i in range(nblocks))
@@ -174,7 +181,7 @@ def main():
     try:
         from tpu_snappy.config import TURBO_CONFIG
         enct = jax.jit(lambda b, l: ops_encode.encode_corpus(
-            b, l, TURBO_CONFIG, wave=ENC_WAVE))
+            b, l, TURBO_CONFIG, wave=SPEED_WAVE))
         outt, lenst = [np.asarray(x) for x in enct(blocks_d, lens_d)]
         compt = fmt.varint_encode(n) + b"".join(
             outt[i, : lenst[i]].tobytes() for i in range(nblocks))
@@ -204,7 +211,7 @@ def main():
     try:
         from tpu_snappy.config import ULTRA_CONFIG
         encu = jax.jit(lambda b, l: ops_encode.encode_corpus(
-            b, l, ULTRA_CONFIG, wave=ENC_WAVE))
+            b, l, ULTRA_CONFIG, wave=SPEED_WAVE))
         outu, lensu = [np.asarray(x) for x in encu(blocks_d, lens_d)]
         compu = fmt.varint_encode(n) + b"".join(
             outu[i, : lensu[i]].tobytes() for i in range(nblocks))
