@@ -40,6 +40,23 @@ def test_concurrent_compress_roundtrip_and_batching():
     assert stats.occupancy >= 7 / 8
 
 
+def test_server_with_speed_preset():
+    # A server constructed with a speed preset (server-level choice: one
+    # cfg per wave graph) round-trips through the golden decoder and its
+    # own decompress lane.
+    from tpu_snappy.config import ULTRA_CONFIG
+    payloads = [_text(70_000), _rand(66_000, 7)]
+    with serving.CodecServer(cfg=ULTRA_CONFIG, wave=4,
+                             max_wait_ms=200) as srv:
+        comps = [f.result(timeout=600)
+                 for f in [srv.compress(p) for p in payloads]]
+        backs = [f.result(timeout=600)
+                 for f in [srv.decompress(c) for c in comps]]
+    for p, c, b in zip(payloads, comps, backs):
+        assert golden.uncompress(c) == p
+        assert b == p
+
+
 def test_decompress_batches_and_matches():
     payloads = [_text(100_000), _rand(70_000)]
     comps = [golden.compress(p) for p in payloads]
