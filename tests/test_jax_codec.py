@@ -84,7 +84,15 @@ def test_turbo_config_roundtrips_within_rtl_bar():
         assert api.decompress(comp, small_fastpath=False) == data
     if corpus.has_reference_corpus():
         gold = golden.compress(datas[-1])
-        assert len(comp) <= 1.5716 * len(gold)
+        assert len(comp) <= 1.5716 * len(gold)  # secondary aggregate bound
+        # The RTL bar on its own provenance file: real-50000 is where the
+        # 1.5716 ratio and the 32683-byte output were recorded
+        # (reference benchmark/hw_results.csv:25 / sw_results.csv:22).
+        real50 = corpus.load("real-50000.txt")
+        c50 = api.compress(real50, TURBO_CONFIG, small_fastpath=False)
+        assert golden.uncompress(c50) == real50
+        assert len(c50) <= 1.5716 * len(golden.compress(real50))
+        assert len(c50) < 32683  # strictly smaller than the RTL's output
 
 
 def test_ultra_config_roundtrips_within_rtl_bar():

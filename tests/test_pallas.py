@@ -550,6 +550,39 @@ def test_matcher_kernel_matches_xla():
             assert (np.asarray(op) == np.asarray(ox)).all(), (lazy, sticky)
 
 
+def test_matcher_kernel_packed_stride2_matches_xla():
+    """The stride-2 + packed kernel branch of encode_block (ULTRA's TPU
+    path) interpreted on CPU vs the XLA matcher on the same pre-strided
+    candidate table — _expand_stride of the packed (pref, words) form
+    must be bit-identical to the unpacked XLA branch. One data case and
+    one (lazy, sticky) point: interpret-mode matcher runs cost ~12 s."""
+    from tpu_snappy.ops import encode as E
+    from tpu_snappy.ops.pallas import matcher as M
+    from tpu_snappy.utils import corpus
+    import tpu_snappy.format as fmt
+    if corpus.has_reference_corpus():
+        data = corpus.load("all-mtg-cards.txt")[:fmt.BLOCK_SIZE]
+    else:
+        data = b"The quick brown fox. " * 600
+    n = min(len(data), fmt.BLOCK_SIZE)
+    buf = np.zeros(fmt.BLOCK_SIZE, np.uint8)
+    buf[:n] = np.frombuffer(data[:n], np.uint8)
+    block = jnp.asarray(buf)
+    iota = jnp.arange(fmt.BLOCK_SIZE, dtype=jnp.int32)
+    key = E._window_keys_strided(block, jnp.int32(n), 2)
+    kiota = jnp.arange(0, fmt.BLOCK_SIZE, 2, dtype=jnp.int32)
+    k, lazy, sticky = 3, 2, "sig"  # the ULTRA operating point
+    pref, words = E._candidate_offsets(key, jnp.int32(n), kiota, k,
+                                       "class", k, packed=True, stride=2)
+    jp, op = M.matcher_block_packed(pref, words, jnp.int32(n), k,
+                                    lazy, sticky)
+    cands = E._candidate_offsets(key, jnp.int32(n), kiota, k, "class", k,
+                                 stride=2)
+    jx, ox = E._matcher_xla(cands, jnp.int32(n), iota, lazy, sticky)
+    assert (np.asarray(jp) == np.asarray(jx)).all()
+    assert (np.asarray(op) == np.asarray(ox)).all()
+
+
 def test_scatter_windowed_transport_shape():
     # Transport-shaped destinations: nondecreasing with dump sentinels and
     # duplicate tag/payload cells (disjoint bit ranges, summed).

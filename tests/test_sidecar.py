@@ -300,6 +300,43 @@ def test_depth_hint_analytic_matches_simulation():
                 assert np.array_equal(a, s), (len(data), cap, tile)
 
 
+def test_depth_hint_analytic_matches_simulation_fuzz():
+    # Fuzz leg of the analytic-vs-sim cross-check (both builders are
+    # host-side C, so this is cheap): random mixtures of literal runs,
+    # RLE runs and copied slices at random sizes, every stream checked
+    # at two (cap, tile) points including the shipped one.
+    from tpu_snappy.native import golden as g
+    from tpu_snappy.ops import decode as D
+
+    rng = np.random.default_rng(0xD5)
+    words = [b"cat ", b"dog ", b"fish", b"\x00\x00", b"ab", b"Q"]
+    for case in range(40):
+        n = int(rng.integers(1, 60000))
+        parts, size = [], 0
+        while size < n:
+            kind = int(rng.integers(0, 3))
+            if kind == 0:       # random literals
+                ln = int(rng.integers(1, 300))
+                parts.append(bytes(rng.integers(0, 256, ln, dtype=np.uint8)))
+            elif kind == 1:     # run
+                ln = int(rng.integers(4, 2000))
+                parts.append(bytes([int(rng.integers(0, 256))]) * ln)
+            else:               # text-ish repetition
+                ln = int(rng.integers(1, 40))
+                parts.append(words[int(rng.integers(0, len(words)))] * ln)
+            size += len(parts[-1])
+        data = b"".join(parts)[:n]
+        comp = api.compress(data, small_fastpath=False)
+        total, start = fmt.varint_decode(comp)
+        elems = comp[start:]
+        for cap, tile in ((D.TAIL_CAP, D.HINT_TILE),
+                          (int(rng.choice([0, 40960, 65537])),
+                           int(rng.choice([128, 512, D.TAIL_TILE])))):
+            a = g.depth_hints(elems, total, cap, tile)
+            s = g.depth_hints_sim(elems, total, cap, tile)
+            assert np.array_equal(a, s), (case, n, cap, tile)
+
+
 def test_corrupt_depth_hint_falls_back():
     # Under-declared depths yield wrong bytes -> chunk CRC catches it ->
     # normal-path fallback; over-declared depths only waste rounds.

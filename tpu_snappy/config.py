@@ -165,9 +165,11 @@ TURBO_CONFIG = CodecConfig(candidates=3, probes=3, sticky="sig")
 
 #: RTL-dominating preset: TURBO plus stride-2 match anchors (the
 #: pair-sort/probe/restore domain halves and the window build drops to a
-#: u16 reinterpretation; see `stride`). Measured on v5e (mtg, 24-wide,
-#: with the tree commit scan + strided key build): **0.35-0.36 GB/s
-#: = 2.6-2.7 cyc/B vs the RTL's 3.50** (at its wave-48 operating point) at aggregate size x1.357 vs software
+#: u16 reinterpretation; see `stride`). Measured on v5e (mtg, with the
+#: tree commit scan + strided key build): **0.32 GB/s = 2.95 cyc/B at
+#: the 24-wide point, 0.35-0.36 GB/s = 2.6-2.7 cyc/B at its wave-48
+#: operating point (bench.py's SPEED_WAVE) vs the RTL's 3.50** —
+#: canonical numbers in results/preset_frontier.json — at aggregate size x1.357 vs software
 #: snappy vs the RTL's x1.571 — and on the RTL's own benchmark file
 #: (real-50000) the output is 8.6% SMALLER than the RTL's recorded
 #: 32683 B. Strictly faster AND smaller than the reference accelerator

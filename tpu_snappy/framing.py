@@ -29,8 +29,9 @@ CHUNK_UNCOMPRESSED = 0x01
 CHUNK_PADDING = 0xFE
 #: Skippable (0x80-0xfd) chunks carrying our decode sidecars (sidecar.py);
 #: foreign decoders MUST ignore them per spec §4.4. 0x80 = full root map
-#: (skip parse+resolve entirely); 0x81 = per-tile depth hints (28 bytes —
-#: cheap enough that "auto" emits it on every compressed text chunk).
+#: (skip parse+resolve entirely); 0x81 = per-tile depth hints (76 bytes
+#: at HINT_TILE=1024, ~0.3% of a text stream — cheap enough that "auto"
+#: emits it on every compressed text chunk).
 CHUNK_SIDECAR = 0x80
 CHUNK_DEPTH = 0x81
 
@@ -130,7 +131,7 @@ def _sidecar_chunk(elems: bytes, blen: int, policy: str) -> bytes:
     'always' — 'always' emits the full 0x80 root map wherever
     representable; 'auto' emits the best hint under SIDECAR_AUTO_FRAC of
     the chunk's uncompressed size: the root map where it fits (RLE/
-    near-incompressible chunks) and otherwise the 28-byte 0x81 per-tile
+    near-incompressible chunks) and otherwise the 76-byte 0x81 per-tile
     depth hint (dense text — where the root map costs more than the
     payload, DESIGN.md round-3). Both fall through to the depth hint when
     the root map is unrepresentable."""
