@@ -145,21 +145,28 @@ class CodecServer:
             dec_fn = shard._decode_fn(mesh, cfg_c.dp_axis, wave)
 
             def _enc(b, l):
-                out, lens = enc_fn(jax.device_put(b, self._bspec),
-                                   jax.device_put(l, self._sspec))
-                return shard.fetch_global(out), np.asarray(lens)
+                return enc_fn(jax.device_put(b, self._bspec),
+                              jax.device_put(l, self._sspec))
+
+            def _enc_fetch(h):
+                return shard.fetch_global(h[0]), np.asarray(h[1])
 
             def _dec(f, c, u):
-                out, ok = dec_fn(jax.device_put(f, self._bspec),
-                                 jax.device_put(c, self._sspec),
-                                 jax.device_put(u, self._sspec))
-                return shard.fetch_global(out), np.asarray(ok)
+                return dec_fn(jax.device_put(f, self._bspec),
+                              jax.device_put(c, self._sspec),
+                              jax.device_put(u, self._sspec))
+
+            def _dec_fetch(h):
+                return shard.fetch_global(h[0]), np.asarray(h[1])
 
             self._enc, self._dec = _enc, _dec
+            self._enc_fetch, self._dec_fetch = _enc_fetch, _dec_fetch
         else:
             self._enc = jax.jit(
                 lambda b, l: ops_encode.encode_blocks(b, l, cfg_c))
             self._dec = ops_decode.decode_fragments_jit
+            self._enc_fetch = self._dec_fetch = (
+                lambda h: (np.asarray(h[0]), np.asarray(h[1])))
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tpu-snappy-batcher")
         self._worker.start()
@@ -441,30 +448,31 @@ class CodecServer:
             fut.set_exception(e)
         return fut
 
-    def _take_batch(self):
-        """Block until a full wave, a max_wait expiry, or close+drain."""
-        deadline = None
+    def _take_batch(self, wait: bool = True):
+        """Next ripe wave: a kind is ripe when it holds a full wave, its
+        head unit has waited max_wait, or the server is draining. Returns
+        (kind, units); (None, ()) = closed and drained; ("", ()) = nothing
+        ripe right now (only when wait=False — the pipelined _run passes
+        that while device waves are still in flight, so it can spend the
+        wait completing one instead of sleeping)."""
         with self._lock:
             while True:
-                kind = None
-                if any(self._q.values()):
-                    # Serve the kind whose head has waited longest — the
-                    # queues carry arrival timestamps implicitly via FIFO;
-                    # alternate fairly by preferring the longest queue.
-                    kind = max(self._q, key=lambda k: len(self._q[k]))
-                    if len(self._q[kind]) >= self._wave:
-                        break
-                    now = time.monotonic()
-                    if deadline is None:
-                        deadline = now + self._max_wait
-                    if now >= deadline or self._closing:
-                        break
-                    self._lock.wait(deadline - now)
-                    continue
-                if self._closing:
+                now = time.monotonic()
+                ripe = [k for k, q in self._q.items() if q and (
+                    len(q) >= self._wave or self._closing
+                    or q[0][0].t0 + self._max_wait <= now)]
+                if ripe:
+                    # Prefer the fullest ripe kind (fair via FIFO heads).
+                    kind = max(ripe, key=lambda k: len(self._q[k]))
+                    break
+                if self._closing and not any(self._q.values()):
                     return None, ()
-                deadline = None
-                self._lock.wait(0.1)
+                if not wait:
+                    return "", ()
+                heads = [q[0][0].t0 + self._max_wait
+                         for q in self._q.values() if q]
+                self._lock.wait(max(1e-4, min(heads) - now)
+                                if heads else 0.1)
             units = [self._q[kind].popleft()
                      for _ in range(min(self._wave, len(self._q[kind])))]
             self.stats.waves += 1
@@ -473,38 +481,77 @@ class CodecServer:
             self._lock.notify_all()  # wake backpressured submitters
             return kind, units
 
+    #: Device waves in flight before the batcher syncs the oldest. Depth 2
+    #: overlaps wave k's host work (result fetch + assembly + next-wave
+    #: packing) with wave k+1's device execution — and lets waves of
+    #: DIFFERENT kinds queue back-to-back on the device instead of
+    #: serializing on a host sync between kinds (each kind keeps its own
+    #: compiled graph; the device stream interleaves them in-order).
+    PIPELINE_DEPTH = 2
+
     def _run(self):
+        pending: deque = deque()  # (kind, units, device handles)
         while True:
             try:
-                kind, units = self._take_batch()
+                kind, units = self._take_batch(wait=not pending)
             except Exception:  # pragma: no cover - defensive
                 continue
+            if kind == "":
+                # Nothing ripe: spend the wait syncing the oldest in-flight
+                # wave (its results are due before a new wave ripens).
+                self._complete_one(pending)
+                continue
             if kind is None:
+                while pending:
+                    self._complete_one(pending)
                 return
             try:
-                if kind == "enc":
-                    self._dispatch_encode(units)
-                elif kind == "scd":
-                    self._dispatch_sidecar(units)
-                elif kind == "dcd":
-                    self._dispatch_decode_hinted(units)
-                else:
-                    self._dispatch_decode(units)
-            except Exception as e:  # device-level failure: fail the wave
+                pending.append((kind, units, self._submit(kind, units)))
+            except Exception as e:  # dispatch-level failure: fail the wave
                 for req, *_ in units:
                     if not req.future.done():
                         self._resolve(req, exc=e)
+            while len(pending) >= self.PIPELINE_DEPTH:
+                self._complete_one(pending)
 
-    def _dispatch_encode(self, units):
+    def _submit(self, kind: str, units):
+        """Pack a wave and dispatch its jitted graph WITHOUT syncing —
+        returns device handles for _complete_one."""
+        if kind == "enc":
+            return self._submit_encode(units)
+        if kind == "scd":
+            return self._submit_sidecar(units)
+        if kind == "dcd":
+            return self._submit_decode_hinted(units)
+        return self._submit_decode(units)
+
+    def _complete_one(self, pending: deque):
+        kind, units, handles = pending.popleft()
+        try:
+            if kind == "enc":
+                self._complete_encode(units, handles)
+            elif kind == "scd":
+                self._complete_sidecar(units, handles)
+            elif kind == "dcd":
+                self._complete_decode_hinted(units, handles)
+            else:
+                self._complete_decode(units, handles)
+        except Exception as e:  # device-level failure: fail the wave
+            for req, *_ in units:
+                if not req.future.done():
+                    self._resolve(req, exc=e)
+
+    def _submit_encode(self, units):
         W = self._wave
         blocks = np.zeros((W, fmt.BLOCK_SIZE), np.uint8)
         lens = np.zeros(W, np.int32)
         for j, (_req, _i, row, ln) in enumerate(units):
             blocks[j] = row
             lens[j] = ln
-        out, out_lens = self._enc(blocks, lens)
-        out = np.asarray(out)
-        out_lens = np.asarray(out_lens)
+        return self._enc(blocks, lens)
+
+    def _complete_encode(self, units, handles):
+        out, out_lens = self._enc_fetch(handles)
         for j, (req, i, _row, _ln) in enumerate(units):
             if req.deliver(i, out[j, : out_lens[j]].tobytes()):
                 if req.kind == "encf":
@@ -540,7 +587,7 @@ class CodecServer:
             pos += blen
         return b"".join(parts)
 
-    def _dispatch_decode(self, units):
+    def _submit_decode(self, units):
         W = self._wave
         clens = np.zeros(W, np.int32)
         ulens = np.zeros(W, np.int32)
@@ -551,9 +598,10 @@ class CodecServer:
         frags = np.zeros((W, width), np.uint8)
         for j, (_req, _i, frag, cl, _ul) in enumerate(units):
             frags[j, :cl] = frag[:cl]
-        out, ok = self._dec(frags, clens, ulens)
-        out = np.asarray(out)
-        ok = np.asarray(ok)
+        return self._dec(frags, clens, ulens)
+
+    def _complete_decode(self, units, handles):
+        out, ok = self._dec_fetch(handles)
         for j, (req, i, _frag, _cl, ul) in enumerate(units):
             if not ok[j]:
                 # Exotic-but-valid (e.g. a cross-fragment copy) or corrupt.
@@ -573,7 +621,7 @@ class CodecServer:
                 else:
                     self._resolve(req, b"".join(req.parts))
 
-    def _dispatch_decode_hinted(self, units):
+    def _submit_decode_hinted(self, units):
         """Depth-hinted framed decode wave (0x81 tpD1 hints): the normal
         fragment decode graph with per-tile tail round counts — no detect
         bodies (decode.py resolve='depthtail'). A wrong hint yields wrong
@@ -592,9 +640,11 @@ class CodecServer:
         frags = np.zeros((W, width), np.uint8)
         for j, (_req, _i, frag, cl, _ul, _dh) in enumerate(units):
             frags[j, :cl] = frag[:cl]
-        out, ok = ops_decode.decode_fragments_depth_jit(
+        return ops_decode.decode_fragments_depth_jit(
             frags, clens, ulens, deps)
-        out, ok = np.asarray(out), np.asarray(ok)
+
+    def _complete_decode_hinted(self, units, handles):
+        out, ok = np.asarray(handles[0]), np.asarray(handles[1])
         for j, (req, i, _frag, _cl, ul, _dh) in enumerate(units):
             if not ok[j]:
                 req.failed = True
@@ -605,7 +655,7 @@ class CodecServer:
                 except ValueError as e:
                     self._resolve(req, exc=e)
 
-    def _dispatch_sidecar(self, units):
+    def _submit_sidecar(self, units):
         """Sidecar fast-decode wave: units are framed chunks whose 0x80
         sidecar parsed + split cleanly. Shapes bucket per wave (piece and
         element widths), so the graph count stays bounded; a False ok (or
@@ -614,10 +664,12 @@ class CodecServer:
         from . import sidecar as sc
 
         wrows = max(u[6] for u in units)
-        out, ok = sc.decode_chunks_jit(*sc.pack_batch(
+        return sc.decode_chunks_jit(*sc.pack_batch(
             [(u[2].tobytes(), u[3], u[4], u[5]) for u in units]),
             wrows=wrows)
-        out, ok = np.asarray(out), np.asarray(ok)
+
+    def _complete_sidecar(self, units, handles):
+        out, ok = np.asarray(handles[0]), np.asarray(handles[1])
         for j, (req, i, _payload, ul, _s2, _vals, _w) in enumerate(units):
             if not ok[j]:
                 req.failed = True
