@@ -117,6 +117,22 @@ class CodecConfig:
     #: vs software snappy — inside the reference RTL's own x1.57 point.
     stride: int = 1
 
+    #: Candidate-table representation. "points" = K point slots (the
+    #: production table). "intervals" = the round-5 probe of the
+    #: interval-set idea from the `probes` note above: the longest
+    #: consecutive probe ladder NOT rooted at 1 is carried as ONE
+    #: (lo, hi) interval in the last two slots (every integer in a probe
+    #: ladder is a sort-verified occurrence offset, so interval
+    #: membership stays exact), freeing point slots so a lower K can
+    #: cover the uniform-region ladders that pinned K=14. Sticky
+    #: membership tests the interval with two compares; composition
+    #: intersects intervals (an under-approximation — cross terms
+    #: between one window's points and the other's interval are dropped
+    #: — which can only break a chain early, never emit an unverified
+    #: offset). Requires even candidates >= 6, probes > candidates, and
+    #: a flattening slot; runs on the XLA matcher path.
+    table: str = "points"
+
     #: Mesh axis name for data-parallel block sharding.
     dp_axis: str = "dp"
 
@@ -128,6 +144,15 @@ class CodecConfig:
         if self.stride not in (1, 2, 4):
             raise ValueError("stride must be 1, 2 or 4 (power of two dividing"
                              " the block)")
+        if self.table not in ("points", "intervals"):
+            raise ValueError("table must be 'points' or 'intervals'")
+        if self.table == "intervals":
+            if self.candidates % 2 or self.candidates < 6:
+                raise ValueError("interval tables need even candidates >= 6")
+            if self.probes <= self.candidates:
+                raise ValueError("interval tables need probes > candidates")
+            if self.flatten == "off":
+                raise ValueError("interval tables need a flattening slot")
 
 
 DEFAULT_CONFIG = CodecConfig()

@@ -77,6 +77,12 @@ def _ffill(mask: jax.Array, vals: tuple) -> tuple:
 #: compresses to <= 65536 + headers; adversarial-but-valid streams (e.g. all
 #: 1-byte copies) can exceed this and fall back to sequential decode.
 FRAG_CAP = 68 * 1024
+
+#: Halving-tree levels for the parse entry scan (TPU only;
+#: scan.entry_states_tree_general — concatenated pair tables, so the
+#: bounded-domain restriction does not apply). Each level halves the
+#: fragment-width/64 sequential scan steps at one one-hot compose.
+PARSE_TREE_LEVELS = 0
 OUT = fmt.BLOCK_SIZE
 
 #: Sparse-resolve extraction width (hybrid path): the dense doubling loop
@@ -200,7 +206,9 @@ def parse_transport(c: jax.Array, clen: jax.Array, ulen: jax.Array,
 
     # --- PARSE: true tag chain ---
     jump = jnp.clip(size, 1, None)
-    tags = scan.commit_general(jump) & (iota < clen)
+    tags = scan.commit_general(
+        jump, tree_levels=PARSE_TREE_LEVELS if _on_tpu() else 0
+    ) & (iota < clen)
 
     # Output start position of each element; chain-consistency checks.
     # (A/B'd against the Pallas single-pass scan, ops/pallas/scans.py:

@@ -127,7 +127,8 @@ def _expand_stride(x: jax.Array, stride: int) -> jax.Array:
 
 def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
                        flatten: str = "class", probes: int | None = None,
-                       packed: bool = False, stride: int = 1):
+                       packed: bool = False, stride: int = 1,
+                       table: str = "points"):
     """Previous positions with an identical 4-byte window, as offsets
     (0 = no candidate). key: _window_keys output. Sort-based rank-space
     matcher: after sorting (window, position) pairs, the k-th previous
@@ -257,7 +258,50 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
         # encode distinct phase alignments to an earlier structure (e.g.
         # {14..21} around a 17-byte line period) and must survive, or
         # period-spanning sticky chains break. One fused elementwise pass.
-        if r > k:
+        if table == "intervals":
+            # Interval-set table (cfg.table docstring): the longest
+            # maximal consecutive probe run NOT rooted at 1 becomes ONE
+            # (lo, hi) pair in the last two slots. Probes within a run
+            # are consecutive integers and each is sort-verified, so
+            # every x in [lo, hi] is a verified occurrence offset —
+            # interval membership in the sticky scan is exact. The
+            # rank-13 ladder members that pinned K=14 (uniform regions,
+            # e.g. 17-byte line periods over zero runs) ride the
+            # interval instead of point slots.
+            assert k % 2 == 0 and k >= 6 and r > k and not packed
+            run_len = jnp.where(offs[0] > 0, 1, 0)
+            best_len = jnp.zeros(M, jnp.int32)
+            best_hi = jnp.zeros(M, jnp.int32)
+            for j in range(1, r):
+                step = (offs[j] == offs[j - 1] + 1) & (offs[j - 1] > 0)
+                run_len = jnp.where(step, run_len + 1,
+                                    jnp.where(offs[j] > 0, 1, 0))
+                lo_j = offs[j] - run_len + 1
+                take = (run_len >= 3) & (run_len > best_len) & (lo_j != 1)
+                best_len = jnp.where(take, run_len, best_len)
+                best_hi = jnp.where(take, offs[j], best_hi)
+            ilo = jnp.where(best_len > 0, best_hi - best_len + 1, 0)
+            ihi = jnp.where(best_len > 0, best_hi, 0)
+            # Point slots: the usual root-ladder dedup, plus interval
+            # members drop (slot demand, not information — they are in
+            # [ilo, ihi]). The nearest probe always stays a point so
+            # slot 0 keeps its nearest-candidate semantics.
+            slots = [jnp.zeros(M, jnp.int32) for _ in range(k - 3)]
+            cnt = jnp.zeros(M, jnp.int32)
+            ladder = offs[0] == 1
+            for j in range(r):
+                kp = offs[j] > 0
+                if j > 0:
+                    step = offs[j] == offs[j - 1] + 1
+                    kp &= ~(ladder & step)
+                    ladder &= step
+                    kp &= ~((offs[j] >= ilo) & (offs[j] <= ihi)
+                            & (ilo > 0))
+                for m in range(k - 3):
+                    slots[m] = jnp.where(kp & (cnt == m), offs[j], slots[m])
+                cnt += kp.astype(jnp.int32)
+            offs = slots + [flat, ilo, ihi]
+        elif r > k:
             slots = [jnp.zeros(M, jnp.int32) for _ in range(k - 1)]
             cnt = jnp.zeros(M, jnp.int32)
             ladder = offs[0] == 1
@@ -331,6 +375,15 @@ def _candidate_offsets(key: jax.Array, n: jax.Array, iota: jax.Array, k: int,
     if flatten == "off":
         return _expand_stride(jnp.stack(out[:k], axis=-1),
                               stride)  # (N, K) nearest-first
+    if table == "intervals":
+        # Layout: [pref, k-3 point slots, interval lo, interval hi] —
+        # the flat slot (index k-3 post-restore) folds into pref as in
+        # the point table; the interval pair stays in the last two
+        # columns for the sticky scan's special-cased membership.
+        pref = _flat_gate(out[k - 3], out[0])
+        return _expand_stride(
+            jnp.stack([pref] + out[:k - 3] + out[k - 2:k], axis=-1),
+            stride)  # (N, K)
     # Column 0 drives the sticky default (the gated flat choice); chain
     # continuation only needs set membership, so flat takes the slot of the
     # dropped 16th-nearest candidate rather than growing K. Built in one
@@ -372,6 +425,84 @@ def _sig_bit(x: jax.Array) -> jax.Array:
     whole ladder into adjacent buckets)."""
     h = (x.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> 27
     return (jnp.uint32(1) << h).astype(jnp.uint32)
+
+
+def _sticky_offsets_intervals(cands: jax.Array,
+                              sticky: str = "exact") -> jax.Array:
+    """Sticky composition over an interval-set candidate table
+    (cfg.table='intervals'): columns [:-2] are point slots (column 0 the
+    gated default), columns -2/-1 an inclusive verified-offset interval
+    (lo, hi; lo == 0 = none). Membership adds two compares per test;
+    interval state composes by intersection (cross terms between one
+    window's points and the other's interval are dropped — an
+    under-approximation that can only break a chain early). The final
+    choice is exact-verified against the position's own table (points OR
+    interval), so every emitted offset stays sort-verified."""
+    n, kk = cands.shape
+    pts = cands[..., :-2]
+    lo0 = cands[..., -2]
+    hi0 = cands[..., -1]
+    dflt = cands[..., 0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def compose(shift, state):
+        b_pts, b_lo, b_hi, b_d = state
+        a_pts, a_lo, a_hi, a_d = (jnp.roll(state[0], shift, axis=0),
+                                  jnp.roll(state[1], shift, axis=0),
+                                  jnp.roll(state[2], shift, axis=0),
+                                  jnp.roll(state[3], shift, axis=0))
+        def in_ivl(x, lo, hi):
+            return (x > 0) & (x >= lo) & (x <= hi) & (lo > 0)
+
+        if sticky == "sig":
+            mask = functools.reduce(
+                jnp.bitwise_or,
+                [jnp.where(b_pts[..., j] > 0, _sig_bit(b_pts[..., j]),
+                           jnp.uint32(0)) for j in range(b_pts.shape[-1])])
+
+            def in_b_scalar(x):
+                return (x > 0) & (((mask & _sig_bit(x)) != 0)
+                                  | in_ivl(x, b_lo, b_hi))
+
+            def in_b_vec(x):  # x: (n, P)
+                return (x > 0) & ((((mask[..., None] & _sig_bit(x)) != 0))
+                                  | in_ivl(x, b_lo[..., None],
+                                           b_hi[..., None]))
+        else:
+            def in_b_scalar(x):
+                p = jnp.any((x[..., None] == b_pts) & (x[..., None] > 0),
+                            axis=-1)
+                return p | in_ivl(x, b_lo, b_hi)
+
+            def in_b_vec(x):  # x: (n, P)
+                p = jnp.any((x[..., None] == b_pts[..., None, :])
+                            & (x[..., None] > 0), axis=-1)
+                return p | in_ivl(x, b_lo[..., None], b_hi[..., None])
+
+        keep = jnp.where(in_b_vec(a_pts), a_pts, 0)
+        nlo = jnp.maximum(a_lo, b_lo)
+        nhi = jnp.minimum(a_hi, b_hi)
+        valid = (a_lo > 0) & (b_lo > 0) & (nlo <= nhi)
+        nlo = jnp.where(valid, nlo, 0)
+        nhi = jnp.where(valid, nhi, 0)
+        d = jnp.where(in_b_scalar(a_d), a_d, b_d)
+        edge = (iota < shift)
+        keep = jnp.where(edge[..., None], b_pts, keep)
+        nlo = jnp.where(edge, b_lo, nlo)
+        nhi = jnp.where(edge, b_hi, nhi)
+        d = jnp.where(edge, b_d, d)
+        return keep, nlo, nhi, d
+
+    state = (pts, lo0, hi0, dflt)
+    for lvl in range(STICKY_LEVELS):
+        state = compose(4 << lvl, state)
+    d = state[3]
+    # Exact verification against the position's own table (mandatory in
+    # sig mode, a no-op-strength invariant otherwise — kept in both so
+    # the emitted offset is always a verified occurrence).
+    verified = (jnp.any((d[..., None] == pts) & (d[..., None] > 0), axis=-1)
+                | ((d > 0) & (d >= lo0) & (d <= hi0) & (lo0 > 0)))
+    return jnp.where(verified, d, cands[..., 0])
 
 
 def _sticky_offsets_sig(cands: jax.Array) -> jax.Array:
@@ -535,11 +666,16 @@ def _jump(mlp: jax.Array) -> jax.Array:
 
 
 def _matcher_xla(cands: jax.Array, n: jax.Array, iota: jax.Array,
-                 lazy: int = 0, sticky: str = "exact"):
+                 lazy: int = 0, sticky: str = "exact",
+                 table: str = "points"):
     """Candidate table -> (jump, offset): XLA reference path, mirrored
     bit-for-bit by the fused Pallas kernel (ops/pallas/matcher.py),
-    including the lazy-deferral mask and the sticky-composition mode."""
-    off_s = (_sticky_offsets_sig(cands) if sticky == "sig"
+    including the lazy-deferral mask and the sticky-composition mode.
+    table='intervals' switches the sticky scan to the interval-aware
+    form (last two columns are a verified-offset interval)."""
+    off_s = (_sticky_offsets_intervals(cands, sticky)
+             if table == "intervals"
+             else _sticky_offsets_sig(cands) if sticky == "sig"
              else _sticky_offsets(cands))
     ml = _match_lengths(off_s, n, iota)
     # Profitability filter: short matches with 3-byte copy2 tags that also
@@ -599,7 +735,8 @@ def encode_block(block: jax.Array, n: jax.Array,
     else:
         key = _window_keys(block, n, iota)
         kiota = iota
-    if jax.devices()[0].platform == "tpu" and cfg.flatten != "off":
+    if (jax.devices()[0].platform == "tpu" and cfg.flatten != "off"
+            and cfg.table == "points"):
         # Fused VMEM-resident kernel (bit-identical to the XLA path
         # below), fed the packed candidate form straight from the restore
         # sort (halves its VMEM input block and skips the XLA unpack).
@@ -612,8 +749,9 @@ def encode_block(block: jax.Array, n: jax.Array,
     else:
         cands = _candidate_offsets(key, n, kiota, cfg.candidates,
                                    cfg.flatten, cfg.probes,
-                                   stride=cfg.stride)
-        jump, off = _matcher_xla(cands, n, iota, cfg.lazy, cfg.sticky)
+                                   stride=cfg.stride, table=cfg.table)
+        jump, off = _matcher_xla(cands, n, iota, cfg.lazy, cfg.sticky,
+                                 cfg.table)
 
     # --- COMMIT ---
     # TPU: halving-tree entry scan (3 bounded-domain compose levels +

@@ -301,14 +301,75 @@ def commit_bounded(jump: jax.Array, sequential: bool = False,
     return committed_from_entries(jump, entry_states_bounded(maps))
 
 
-def commit_general(jump: jax.Array, grouped: bool = False) -> jax.Array:
+def entry_states_tree_general(exit_maps: jax.Array,
+                              levels: int = 2) -> jax.Array:
+    """Entry states for ARBITRARY jumps via a halving tree of
+    concatenated pair tables.
+
+    The encode-side tree (entry_states_tree) relies on the bounded
+    domain; the G-grouped decode variant lost because extending the
+    domain to D = G*S made its compositions move (ngrp, D, D) one-hots.
+    This form avoids domain growth a third way: a PAIR of segment maps
+    (f earlier, g later, each width W) is answered exactly by the
+    CONCATENATED table [h | g] of width 2W, where
+    h[d] = g[f[d]] if f[d] < W else f[d] - W (both already "distance
+    past the pair's end"), and an entry >= 2W skips the pair
+    arithmetically — so each level halves the sequential-scan length,
+    table STORAGE stays nseg*S, and the only new cost is one
+    (m/2, W, W) one-hot compose per level (f32: decode exit states
+    reach 64K). Entries descend through the stashed f tables exactly as
+    in the bounded tree. Equivalent to entry_states_sequential for any
+    jump >= 1 (tests assert it)."""
+    maps = exit_maps
+    w = S
+    stack = []
+    for _ in range(levels):
+        f = maps[..., 0::2, :]
+        g = maps[..., 1::2, :]
+        stack.append((f, w))
+        oh = (jnp.clip(f, 0, w - 1)[..., :, :, None] ==
+              jax.lax.broadcasted_iota(
+                  jnp.int32, (1, 1, w), 2)).astype(jnp.float32)
+        thru = jnp.einsum("...ts,...s->...t", oh, g.astype(jnp.float32),
+                          preferred_element_type=jnp.float32
+                          ).astype(exit_maps.dtype)
+        h = jnp.where(f < w, thru, f - w)
+        maps = jnp.concatenate([h, g], axis=-1)
+        w *= 2
+
+    coarse = jnp.moveaxis(maps, -2, 0)  # (nseg/2^levels, ..., w)
+
+    def step(d, t):
+        idx = jnp.clip(d, 0, w - 1)[..., None]
+        thru = jnp.take_along_axis(t, idx, axis=-1)[..., 0]
+        return jnp.where(d >= w, d - w, thru), d
+
+    _, entries = jax.lax.scan(
+        step, jnp.zeros(exit_maps.shape[:-2], jnp.int32), coarse, unroll=4)
+    e = jnp.moveaxis(entries, 0, -1)  # (..., nseg/2^levels)
+    for f, fw in reversed(stack):
+        thru = jnp.take_along_axis(
+            f, jnp.clip(e, 0, fw - 1)[..., None], axis=-1)[..., 0]
+        odd = jnp.where(e < fw, thru, e - fw)
+        e = jnp.stack([e, odd], axis=-1).reshape(*e.shape[:-1],
+                                                 e.shape[-1] * 2)
+    return e
+
+
+def commit_general(jump: jax.Array, grouped: bool = False,
+                   tree_levels: int = 0) -> jax.Array:
     """Committed flags for arbitrary jumps >= 1. Decode tag-parse path.
 
     grouped=True selects the two-level grouped entry scan (NSEG/G sequential
-    steps) — measured slower on v5e (see note at G); default is the plain
-    sequential scan.
+    steps) — measured slower on v5e (see note at G). tree_levels > 0 runs
+    the concatenated halving tree (entry_states_tree_general) — each
+    level halves the sequential entry-scan length at one bounded one-hot
+    compose. Default is the plain sequential scan.
     """
     maps = segment_exit_maps(jump)
+    if tree_levels > 0 and maps.shape[-2] % (1 << tree_levels) == 0:
+        return committed_from_entries(
+            jump, entry_states_tree_general(maps, tree_levels))
     if grouped and maps.shape[-2] % G == 0:
         return committed_from_entries(jump, entry_states_grouped(maps))
     return committed_from_entries(jump, entry_states_sequential(maps))
