@@ -59,6 +59,12 @@ N = fmt.BLOCK_SIZE  # 65536: fixed lane count of every per-position array
 #: The Pallas matcher kernel mirrors this constant.
 STICKY_LEVELS = 4
 
+#: A/B override: route encode_block's matcher through the XLA path even
+#: where the fused Pallas kernel would apply (isolates kernel margin in
+#: same-session studies; trace-time constant — clear jit caches after
+#: flipping).
+FORCE_XLA_MATCHER = False
+
 
 def _ffill(mask: jax.Array, vals: jax.Array) -> jax.Array:
     """Forward-fill on the encode hot path: VMEM-resident Pallas kernel on
@@ -736,7 +742,7 @@ def encode_block(block: jax.Array, n: jax.Array,
         key = _window_keys(block, n, iota)
         kiota = iota
     if (jax.devices()[0].platform == "tpu" and cfg.flatten != "off"
-            and cfg.table == "points"):
+            and cfg.table == "points" and not FORCE_XLA_MATCHER):
         # Fused VMEM-resident kernel (bit-identical to the XLA path
         # below), fed the packed candidate form straight from the restore
         # sort (halves its VMEM input block and skips the XLA unpack).

@@ -50,6 +50,9 @@ class ServerStats:
     units: int = 0
     waves: int = 0
     wave_slots: int = 0
+    #: Dispatched waves per kind (enc/dec/scd/dcd) — the device-bound
+    #: projection multiplies these by standalone per-wave device times.
+    waves_by_kind: dict = dataclasses.field(default_factory=dict)
     #: Fragments re-decoded on the host because their device pass flagged
     #: them (fragment-granular fallback — NOT whole requests).
     spliced_fragments: int = 0
@@ -478,6 +481,8 @@ class CodecServer:
             self.stats.waves += 1
             self.stats.wave_slots += self._wave
             self.stats.units += len(units)
+            self.stats.waves_by_kind[kind] = (
+                self.stats.waves_by_kind.get(kind, 0) + 1)
             self._lock.notify_all()  # wake backpressured submitters
             return kind, units
 
