@@ -117,6 +117,32 @@ def test_ultra_config_roundtrips_within_rtl_bar():
         assert len(comp) <= 1.5716 * len(gold)
 
 
+def test_interval_table_roundtrips_and_holds_ladder_bar():
+    # cfg.table="intervals" (round-5 probe, kept as a tested knob): the
+    # longest non-root probe ladder rides as one (lo, hi) slot pair.
+    # Round-trips must stay bit-exact through both goldens, and the
+    # interval must actually do its job: alignerTestData — the
+    # uniform-region file whose rank-13 ladder member pinned K=14 —
+    # holds the golden bar at K=12 (point tables never could; r2
+    # receipts had K=12/13 at +15/+5 B).
+    import dataclasses
+    from tpu_snappy.config import DEFAULT_CONFIG
+    icfg = dataclasses.replace(DEFAULT_CONFIG, candidates=12, probes=14,
+                               table="intervals")
+    datas = [corpus.load("fox-in-socks.txt") * 2
+             + b"xy" * 9000
+             + np.random.default_rng(6).integers(
+                 0, 256, 20000, dtype=np.uint8).tobytes()]
+    if corpus.has_reference_corpus():
+        datas.append(corpus.load("alignerTestData.txt"))
+    for data in datas:
+        comp = api.compress(data, icfg, small_fastpath=False)
+        assert golden.uncompress(comp) == data
+        assert api.decompress(comp, small_fastpath=False) == data
+    if corpus.has_reference_corpus():
+        assert len(comp) <= len(golden.compress(datas[-1]))
+
+
 def test_strided_window_keys_match_sliced_full_keys():
     # The byte-group reinterpretation (u16 pairs at stride 2, u32 words at
     # stride 4) must reproduce _window_keys(...)[::stride] exactly,

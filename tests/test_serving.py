@@ -309,3 +309,20 @@ def test_close_rejects_new_work():
     assert golden.uncompress(fut.result(timeout=60)) == _text(65_536 * 2)
     with pytest.raises(RuntimeError):
         srv.compress(_text(70_000))
+
+def test_pipeline_depth_variants_roundtrip():
+    # The batcher's wave pipeline (PIPELINE_DEPTH in-flight waves before
+    # the oldest syncs) must be correctness-neutral at any depth — depth
+    # 1 reproduces the old sync-per-wave behavior, deeper pipelines only
+    # reorder host-side completion.
+    payloads = [_text(70_000), _rand(66_000, 4), _text(100_000)]
+    comps = [golden.compress(p) for p in payloads]
+    for depth in (1, 3):
+        with serving.CodecServer(wave=4, max_wait_ms=50) as srv:
+            srv.PIPELINE_DEPTH = depth
+            futs = [srv.compress(p) for p in payloads]
+            dfuts = [srv.decompress(c) for c in comps]
+            for p, f in zip(payloads, futs):
+                assert golden.uncompress(f.result(timeout=600)) == p, depth
+            for p, f in zip(payloads, dfuts):
+                assert f.result(timeout=600) == p, depth
