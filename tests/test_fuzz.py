@@ -60,6 +60,22 @@ def test_roundtrip_fuzz_speed_presets(data):
         assert api.decompress(comp, small_fastpath=False) == data
 
 
+@settings(max_examples=8, deadline=None)
+@given(structured_bytes())
+def test_roundtrip_fuzz_interval_table(data):
+    # cfg.table="intervals" (tested knob): the (lo, hi) ladder slot pair
+    # must never let an unverified offset through — correctness holds for
+    # arbitrary structures, only tie-breaks may differ from points.
+    import dataclasses
+    from tpu_snappy.config import DEFAULT_CONFIG
+    cfg = dataclasses.replace(DEFAULT_CONFIG, candidates=12, probes=14,
+                              table="intervals")
+    comp = api.compress(data, cfg, small_fastpath=False)
+    assert golden.uncompress(comp) == data
+    assert ref.decompress(comp) == data
+    assert api.decompress(comp, small_fastpath=False) == data
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.integers(0, 2**32 - 1), st.integers(100, 4000))
 def test_roundtrip_random_seeds(seed, n):
