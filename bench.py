@@ -382,9 +382,10 @@ def main():
         log(f"foreign decode bench unavailable: {e}")
 
     # Depth-hinted decode (framed 0x81 tpD1 co-design, round 4): the
-    # 28-byte per-chunk hint the AUTO policy emits on text — same decode
-    # pipeline, but each tile runs exactly its declared tail rounds (no
-    # detect bodies). Bit-identical output; hints cost ~0.12% of stream.
+    # 76-byte per-chunk hint the AUTO policy emits on text (HINT_TILE=
+    # 1024) — same decode pipeline, but each tile runs exactly its
+    # declared tail rounds (no detect bodies). Bit-identical output;
+    # hints cost ~0.3% of stream.
     hinted_gbps = None
     try:
         from tpu_snappy import sidecar as sc_

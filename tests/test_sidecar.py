@@ -216,7 +216,7 @@ def _has_chunk(fr: bytes, typ: int) -> int:
 
 def test_depth_hint_fires_on_text_under_auto():
     # Round-4: the auto policy must emit SOMETHING on dense text — the
-    # 28-byte 0x81 per-tile depth hint — and the hinted stream must decode
+    # 76-byte 0x81 per-tile depth hint — and the hinted stream must decode
     # bit-exactly (the hinted tail runs exactly the declared rounds).
     if not corpus.has_reference_corpus():
         pytest.skip("reference corpus not present")

@@ -129,8 +129,10 @@ class CodecServer:
         self._max_pending = max_pending
         self._lock = threading.Condition()
         # Separate queues per kind: the encode, decode, sidecar-decode and
-        # depth-hinted-decode graphs differ, so a wave is single-kind.
-        # Entries: (request, unit_idx, *unit data).
+        # depth-hinted-decode graphs differ, so a wave is single-kind —
+        # but waves of DIFFERENT kinds overlap on the device through the
+        # depth-2 submit pipeline (_run), so kind diversity no longer
+        # serializes on host syncs. Entries: (request, unit_idx, *unit).
         self._q: dict[str, deque] = {"enc": deque(), "dec": deque(),
                                      "scd": deque(), "dcd": deque()}
         self._closing = False
