@@ -11,7 +11,10 @@ layer's job is to turn an arbitrary arrival process into full waves:
         batcher thread --collect up to `wave` units, or until the
                          oldest unit has waited `max_wait_ms`-->
         one jitted dispatch per wave (fixed shapes => one compiled
-        graph per kind, reused forever)
+        graph per kind, reused forever), submitted WITHOUT syncing:
+        up to PIPELINE_DEPTH waves ride the device queue while the
+        batcher packs the next and fetches the oldest, so waves of
+        different kinds overlap instead of serializing on host syncs
         --per-unit results--> request assembly --> caller futures
 
 Batching is what buys throughput on TPU (the per-dispatch floor and the
