@@ -81,3 +81,30 @@ def test_commit_tree_matches_all_paths(levels):
     tre = np.asarray(scan.commit_bounded(jnp.asarray(batch),
                                          tree_levels=levels))
     assert (seq == tre).all()
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_commit_general_tree_matches_sequential(levels):
+    # The general-jump halving tree (concatenated pair tables,
+    # entry_states_tree_general — the decode-parse selectable path) must
+    # equal the sequential entry scan for UNBOUNDED jumps: tiny jumps,
+    # giant literal-run jumps that skip many segments, and mixes, with
+    # and without a batch dim.
+    rng = np.random.default_rng(100 + levels)
+    n = 512 * 64
+    cases = [np.ones(n, np.int32),
+             np.full(n, 40000, np.int32)]
+    for _ in range(3):
+        j = rng.integers(1, 6, n)
+        big = rng.random(n) < 0.02
+        cases.append(np.where(big, rng.integers(64, 50000, n),
+                              j).astype(np.int32))
+    for jump in cases:
+        jd = jnp.asarray(jump)
+        seq = np.asarray(scan.commit_general(jd))
+        tre = np.asarray(scan.commit_general(jd, tree_levels=levels))
+        assert (seq == tre).all()
+        maps = scan.segment_exit_maps(jd[None, :])
+        e_seq = np.asarray(scan.entry_states_sequential(maps))
+        e_tre = np.asarray(scan.entry_states_tree_general(maps, levels))
+        assert (e_seq == e_tre).all()

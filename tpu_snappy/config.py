@@ -153,6 +153,11 @@ class CodecConfig:
                 raise ValueError("interval tables need probes > candidates")
             if self.flatten == "off":
                 raise ValueError("interval tables need a flattening slot")
+            if self.stride != 1:
+                # Strided anchors make every offset a stride multiple, so
+                # the +1-consecutive run detector can never fire — the
+                # interval slots would ride along permanently empty.
+                raise ValueError("interval tables require stride == 1")
 
 
 DEFAULT_CONFIG = CodecConfig()

@@ -444,7 +444,13 @@ def _sticky_offsets_intervals(cands: jax.Array,
     under-approximation that can only break a chain early). The final
     choice is exact-verified against the position's own table (points OR
     interval), so every emitted offset stays sort-verified."""
-    n, kk = cands.shape
+    # NOTE: this mirrors the compose/edge/verify structure of
+    # _sticky_offsets / _sticky_offsets_sig with the interval plane and
+    # membership term added. The duplication is deliberate: those two
+    # functions are mirrored BIT-FOR-BIT by the Pallas matcher kernel and
+    # must not grow conditional structure; this refuted-experiment knob
+    # must not destabilize them.
+    n = cands.shape[0]
     pts = cands[..., :-2]
     lo0 = cands[..., -2]
     hi0 = cands[..., -1]

@@ -87,6 +87,12 @@ class _Request:
     def __init__(self, kind: str, n: int, total: int):
         self.kind = kind
         self.t0 = time.monotonic()
+        #: Enqueue time — set when the units actually reach the batcher
+        #: queues. Wave ripeness keys off THIS, not t0: host-side prep
+        #: between request creation and enqueue (e.g. framed sidecar
+        #: parsing) must not consume the max_wait coalescing window, or
+        #: slow-prep requests would be born ripe and dispatch partial.
+        self.tq = self.t0
         self.future: Future = Future()
         self.parts: list[bytes | None] = [None] * n
         self.missing = n
@@ -191,6 +197,7 @@ class CodecServer:
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
+            req.tq = time.monotonic()
             for i in range(len(lengths)):
                 self._q["enc"].append((req, i, blocks[i], int(lengths[i])))
             self._lock.notify_all()
@@ -220,6 +227,7 @@ class CodecServer:
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
+            req.tq = time.monotonic()
             for i in range(len(ulens)):
                 self._q["dec"].append(
                     (req, i, frags[i], int(clens[i]), int(ulens[i])))
@@ -246,6 +254,7 @@ class CodecServer:
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
+            req.tq = time.monotonic()
             for i in range(len(lengths)):
                 self._q["enc"].append((req, i, blocks[i], int(lengths[i])))
             self._lock.notify_all()
@@ -358,6 +367,7 @@ class CodecServer:
         with self._lock:
             self._ensure_open()
             self._wait_capacity()
+            req.tq = time.monotonic()
             for j, (_i, payload, cl, ul) in enumerate(dec_units):
                 self._q["dec"].append(
                     (req, j, np.frombuffer(payload, np.uint8), cl, ul))
@@ -468,7 +478,7 @@ class CodecServer:
                 now = time.monotonic()
                 ripe = [k for k, q in self._q.items() if q and (
                     len(q) >= self._wave or self._closing
-                    or q[0][0].t0 + self._max_wait <= now)]
+                    or q[0][0].tq + self._max_wait <= now)]
                 if ripe:
                     # Prefer the fullest ripe kind (fair via FIFO heads).
                     kind = max(ripe, key=lambda k: len(self._q[k]))
@@ -477,7 +487,7 @@ class CodecServer:
                     return None, ()
                 if not wait:
                     return "", ()
-                heads = [q[0][0].t0 + self._max_wait
+                heads = [q[0][0].tq + self._max_wait
                          for q in self._q.values() if q]
                 self._lock.wait(max(1e-4, min(heads) - now)
                                 if heads else 0.1)
@@ -521,7 +531,9 @@ class CodecServer:
                 for req, *_ in units:
                     if not req.future.done():
                         self._resolve(req, exc=e)
-            while len(pending) >= self.PIPELINE_DEPTH:
+            # max(1, ...): depth <= 0 would pop an empty deque and kill
+            # the batcher thread (the knob is instance-assignable).
+            while len(pending) >= max(1, self.PIPELINE_DEPTH):
                 self._complete_one(pending)
 
     def _submit(self, kind: str, units):
