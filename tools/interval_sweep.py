@@ -40,6 +40,12 @@ def main():
                                              table="intervals")),
         ("K=12 iv p=20", dataclasses.replace(base, candidates=12, probes=20,
                                              table="intervals")),
+        ("K=12 iv p=13", dataclasses.replace(base, candidates=12, probes=13,
+                                             table="intervals")),
+        ("K=12 iv p=14", dataclasses.replace(base, candidates=12, probes=14,
+                                             table="intervals")),
+        ("K=12 iv p=16", dataclasses.replace(base, candidates=12, probes=16,
+                                             table="intervals")),
         ("K=6  iv p=16", dataclasses.replace(base, candidates=6, probes=16,
                                              table="intervals")),
     ]
